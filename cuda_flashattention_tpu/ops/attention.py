@@ -1,0 +1,104 @@
+"""Public attention API: differentiable FlashAttention-2.
+
+Host orchestration layer (L3) of the framework — the counterpart of the
+reference's host wrapper functions (`flash_attention_2_forward`,
+ref: 02_fwd/flash_attention_kernel.cu:300-343; `flash_attention_2_backward`,
+ref: 02_bwd/flash_attention_backward_kernel.cu:249-299), except that here
+forward and backward are fused into one differentiable op via
+`jax.custom_vjp` so `jax.grad` works end-to-end (the reference has no
+autodiff; its tests call fwd and bwd separately).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from cuda_flashattention_tpu.ops.common import BlockSizes
+from cuda_flashattention_tpu.ops.flash_bwd import flash_attention_backward
+from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
+def _flash_attention(q, k, v, scale, causal, kv_offset, block_sizes,
+                     interpret):
+    o, _ = flash_attention_forward(
+        q, k, v, scale=scale, causal=causal, kv_offset=kv_offset,
+        block_sizes=block_sizes, interpret=interpret)
+    return o
+
+
+def _fwd(q, k, v, scale, causal, kv_offset, block_sizes, interpret):
+    o, lse = flash_attention_forward(
+        q, k, v, scale=scale, causal=causal, kv_offset=kv_offset,
+        block_sizes=block_sizes, interpret=interpret)
+    return o, (q, k, v, o, lse)
+
+
+def _bwd(scale, causal, kv_offset, block_sizes, interpret, res, do):
+    q, k, v, o, lse = res
+    h = q.shape[1]
+    h_kv = k.shape[1]
+    if h_kv != h:
+        # GQA backward: expand KV heads, then sum gradients over each
+        # query-head group. (Round-1 simplification; a grouped backward
+        # kernel avoids the materialised repeat.)
+        group = h // h_kv
+        k_full = jnp.repeat(k, group, axis=1)
+        v_full = jnp.repeat(v, group, axis=1)
+        dq, dk_full, dv_full = flash_attention_backward(
+            q, k_full, v_full, o, lse, do, scale=scale, causal=causal,
+            kv_offset=kv_offset, block_sizes=block_sizes,
+            interpret=interpret)
+        b, _, nk, d = k.shape
+        dk = dk_full.reshape(b, h_kv, group, nk, d).sum(axis=2)
+        dv = dv_full.reshape(b, h_kv, group, nk, d).sum(axis=2)
+        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+    dq, dk, dv = flash_attention_backward(
+        q, k, v, o, lse, do, scale=scale, causal=causal,
+        kv_offset=kv_offset, block_sizes=block_sizes, interpret=interpret)
+    return dq, dk, dv
+
+
+_flash_attention.defvjp(_fwd, _bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    kv_offset: int = 0,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Differentiable FlashAttention-2: q [B,H,Nq,d], k/v [B,Hkv,Nk,d] → O.
+
+    Supports GQA/MQA (Hkv dividing H), causal masking with a global
+    `kv_offset` (for sequence-sharded callers), bf16/fp32 inputs with fp32
+    accumulation, and arbitrary (non-tile-divisible) sequence lengths.
+    """
+    return _flash_attention(q, k, v, scale, causal, kv_offset, block_sizes,
+                            interpret)
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Convenience wrapper in [B, N, H, d] (sequence-major) layout —
+    the layout models typically carry activations in."""
+    o = flash_attention(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), scale=scale, causal=causal,
+        interpret=interpret)
+    return o.transpose(0, 2, 1, 3)

@@ -1,0 +1,93 @@
+"""Shared kernel-layer helpers.
+
+TPU-native counterpart of the reference's device helper layer
+(ref: src/util/cuda_helper.h, src/util/attention_helper.h). Warp shuffles
+and `div_up` become lane/sublane reductions (done by jnp inside Pallas)
+and `pl.cdiv`; the −inf-init-needs-a-kernel gotcha (ref: memo.md:1) becomes
+a plain scratch-initialisation under `@pl.when(first_step)`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# A finite stand-in for -inf inside kernels: exp(x - NEG_INF) == 0 in fp32
+# while avoiding inf-inf = nan in the m/l updates (the reference needs a
+# dedicated init_array kernel for -inf, ref: cuda_helper.h:60-65, memo.md:1).
+NEG_INF = -1e30
+
+# Minimal sublane tile for fp32 scratch (see pallas guide: (8, 128) fp32).
+LANES = 128
+SUBLANES = 8
+
+
+def cdiv(a: int, b: int) -> int:
+    """Ceiling division (ref: cuda_helper.h:16 `div_up`)."""
+    return -(-a // b)
+
+
+def round_up(x: int, m: int) -> int:
+    return cdiv(x, m) * m
+
+
+@functools.cache
+def default_interpret() -> bool:
+    """Run Pallas kernels in interpreter mode off-TPU (CPU CI), compiled
+    on real TPU. The reference's analogous trick is the WARP_SIZE=2 debug
+    configuration (ref: 02_fwd/flash_attention_kernel.cu:11)."""
+    return jax.default_backend() != "tpu"
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockSizes:
+    """Tile-size configuration for the attention kernels.
+
+    The reference fixes these as C++ template parameters <Br, Bc, d_max,
+    num_warps> (ref: 02_fwd/kernel.cu:311-315); here they are runtime
+    arguments resolved per-shape, optionally by the autotuner
+    (utils/autotune.py), and must honour TPU tiling: multiples of 8
+    sublanes / 128 lanes, and a VMEM budget instead of SRAM.
+    """
+
+    block_q: int = 256
+    block_k: int = 256
+    # backward tiles (kv-parallel kernel loops over q; q-parallel over kv)
+    block_q_bwd: int = 128
+    block_k_bwd: int = 128
+
+    def clamp(self, nq: int, nk: int) -> "BlockSizes":
+        """Shrink blocks to the problem size (keeps tiny ladder tests legal)."""
+        def fit(b: int, n: int) -> int:
+            return max(8, min(b, round_up(n, 8)))
+        return BlockSizes(
+            block_q=fit(self.block_q, nq),
+            block_k=fit(self.block_k, nk),
+            block_q_bwd=fit(self.block_q_bwd, nq),
+            block_k_bwd=fit(self.block_k_bwd, nk),
+        )
+
+
+def pad_to_block(x: jnp.ndarray, axis: int, block: int,
+                 value: float = 0.0) -> jnp.ndarray:
+    """Zero-pad `axis` up to a multiple of `block`.
+
+    The reference dodges non-divisible shapes by assertion
+    (ref: 04_ring_attention.cu:56-63); we pad + mask instead
+    (SURVEY.md §7 hard part (e))."""
+    n = x.shape[axis]
+    target = round_up(n, block)
+    if target == n:
+        return x
+    pads = [(0, 0)] * x.ndim
+    pads[axis] = (0, target - n)
+    return jnp.pad(x, pads, constant_values=value)
+
+
+def resolve_scale(scale: Optional[float], d: int) -> float:
+    import math
+    return 1.0 / math.sqrt(d) if scale is None else float(scale)

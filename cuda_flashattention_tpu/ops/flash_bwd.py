@@ -1,0 +1,314 @@
+"""FlashAttention-2 backward as Pallas TPU kernels.
+
+TPU-native re-design of the reference's FA2 backward CUDA kernel
+(ref: src/02_flash_attention_v2_backward/flash_attention_backward_kernel.cu
+:47-299). Same math — recompute S from Q/K, P = exp(S − LSE) from the saved
+log-sum-exp (no max pass needed, ref: :169-174), D = rowsum(dO ⊙ O)
+(ref: :94-120), dS = P ⊙ (dP − D) (ref: :189-193) — but the parallelisation
+is restructured for TPU instead of emulating CUDA atomics:
+
+  The reference parallelises over Q blocks and accumulates dK/dV with
+  atomicAdd into shared memory, then atomicAdd into HBM (ref: :207-231).
+  TPU has no atomics and doesn't need them: we run TWO kernels, each with
+  a race-free output ownership
+    * dKdV kernel: grid over KV blocks (parallel), sequential inner grid
+      axis over Q blocks; each grid cell owns its (Bk, d) dK/dV tile in a
+      fp32 VMEM accumulator.  (SURVEY.md §7 hard part (a).)
+    * dQ kernel: grid over Q blocks (parallel), sequential axis over KV
+      blocks; owns its (Bq, d) dQ tile — this matches the reference's dQ
+      handling (registers, plain store, ref: :195-205, 234-245).
+  S is recomputed once per kernel (2× total) — the standard TPU/Triton
+  trade of FLOPs for bandwidth; FLOPs are cheap on the MXU.
+
+D is computed outside the kernels as one fused XLA elementwise+reduce
+(the reference dedicates a kernel prologue to it, ref: :94-120).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_flashattention_tpu.ops.common import (
+    NEG_INF,
+    BlockSizes,
+    default_interpret,
+    pad_to_block,
+    resolve_scale,
+)
+
+
+def _p_from_lse(s: jnp.ndarray, lse_block: jnp.ndarray) -> jnp.ndarray:
+    """P = exp(S − LSE) with fully-masked / padded rows forced to 0.
+
+    LSE is stored as NEG_INF for rows with no visible keys (and the host
+    pads LSE with NEG_INF), so guard before exponentiating
+    (ref analog: P=exp(S−L), backward_kernel.cu:169-174)."""
+    lse_safe = jnp.where(lse_block < NEG_INF * 0.5, jnp.inf, lse_block)
+    return jnp.exp(s - lse_safe)  # lse_block is (Bq, 1); broadcasts over Bk
+
+
+def _bwd_dkdv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref,
+    dk_acc, dv_acc,
+    *,
+    scale: float,
+    causal: bool,
+    kv_offset: int,
+    nq_valid: int,
+    nk_valid: int,
+    block_q: int,
+    block_k: int,
+):
+    ikv = pl.program_id(2)
+    iq = pl.program_id(3)
+    nq_blocks = pl.num_programs(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    # Causal: this Q block sees this KV block iff its last row reaches the
+    # block's first column.
+    q_last = (iq + 1) * block_q - 1 + kv_offset
+    block_visible = jnp.logical_or(not causal, ikv * block_k <= q_last)
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0]        # (Bq, d)
+        k = k_ref[0, 0]        # (Bk, d)
+        v = v_ref[0, 0]        # (Bk, d)
+        do = do_ref[0, 0]      # (Bq, d)
+        lse = lse_ref[0, 0]      # (Bq, 1)
+        delta = delta_ref[0, 0]  # (Bq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (Bq, Bk)
+        if nk_valid % block_k != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col + ikv * block_k < nk_valid, s, NEG_INF)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            ok = col + ikv * block_k <= row + iq * block_q + kv_offset
+            s = jnp.where(ok, s, NEG_INF)
+
+        p = _p_from_lse(s, lse)  # (Bq, Bk) fp32
+
+        # dV += Pᵀ · dO (ref: backward_kernel.cu:207-214, minus the atomics)
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO · Vᵀ (ref: :176-187)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dS = P ⊙ (dP − D) · scale (ref: :189-193)
+        ds = p * (dp - delta) * scale
+        # dK += dSᵀ · Q (ref: :215-221, minus the atomics)
+        dk_acc[...] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(iq == nq_blocks - 1)
+    def _epilogue():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref,
+    dq_acc,
+    *,
+    scale: float,
+    causal: bool,
+    kv_offset: int,
+    nq_valid: int,
+    nk_valid: int,
+    block_q: int,
+    block_k: int,
+):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk_blocks = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q_last = (iq + 1) * block_q - 1 + kv_offset
+    block_visible = jnp.logical_or(not causal, ik * block_k <= q_last)
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0]      # (Bq, 1)
+        delta = delta_ref[0, 0]  # (Bq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if nk_valid % block_k != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col + ik * block_k < nk_valid, s, NEG_INF)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            ok = col + ik * block_k <= row + iq * block_q + kv_offset
+            s = jnp.where(ok, s, NEG_INF)
+
+        p = _p_from_lse(s, lse)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - delta) * scale
+        # dQ += dS · K · scale (scale already folded into ds;
+        # ref: backward_kernel.cu:195-205)
+        dq_acc[...] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nk_blocks - 1)
+    def _epilogue():
+        dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "causal", "kv_offset", "block_sizes",
+                     "interpret"),
+)
+def flash_attention_backward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    o: jnp.ndarray,
+    lse: jnp.ndarray,
+    do: jnp.ndarray,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    kv_offset: int = 0,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """FA2 backward. All of q/k/v/o/do are [B,H,N,d]; lse is [B,H,Nq].
+
+    Host-side counterpart of `flash_attention_2_backward`
+    (ref: backward_kernel.cu:249-299). Returns (dQ, dK, dV) in the input
+    dtypes. GQA is handled by the caller (ops.attention) — this kernel
+    expects matched head counts.
+    """
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+    scale = resolve_scale(scale, d)
+    interpret = default_interpret() if interpret is None else interpret
+
+    bs = (block_sizes or BlockSizes()).clamp(nq, nk)
+    block_q, block_k = bs.block_q_bwd, bs.block_k_bwd
+
+    # D = rowsum(dO ⊙ O): one fused XLA op (ref kernel prologue :94-120).
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
+                    keepdims=True)  # [B,H,Nq,1]
+    lse = lse[..., None]  # [B,H,Nq,1] — trailing unit dim for TPU tiling
+
+    q_p = pad_to_block(q, 2, block_q)
+    do_p = pad_to_block(do, 2, block_q)
+    # Padded LSE rows get NEG_INF ⇒ P == 0 ⇒ they contribute nothing.
+    lse_p = pad_to_block(lse, 2, block_q, value=NEG_INF)
+    delta_p = pad_to_block(delta, 2, block_q)
+    k_p = pad_to_block(k, 2, block_k)
+    v_p = pad_to_block(v, 2, block_k)
+    nq_p, nk_p = q_p.shape[2], k_p.shape[2]
+
+    common = dict(
+        scale=scale, causal=causal, kv_offset=kv_offset,
+        nq_valid=nq, nk_valid=nk, block_q=block_q, block_k=block_k,
+    )
+
+    q_spec = pl.BlockSpec((1, 1, block_q, d),
+                          lambda bb, hh, i, j: (bb, hh, j, 0))
+    kv_spec = pl.BlockSpec((1, 1, block_k, d),
+                           lambda bb, hh, i, j: (bb, hh, i, 0))
+    row_spec = pl.BlockSpec((1, 1, block_q, 1),
+                            lambda bb, hh, i, j: (bb, hh, j, 0))
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkdv_kernel, **common),
+        grid=(b, h, nk_p // block_k, nq_p // block_q),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bb, hh, i, j: (bb, hh, i, 0)),
+            pl.BlockSpec((1, 1, block_k, d),
+                         lambda bb, hh, i, j: (bb, hh, i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, nk_p, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * b * h * nq_p * nk_p * d,
+            bytes_accessed=(2 * q_p.size + 2 * k_p.size + 2 * v_p.size)
+            * q_p.dtype.itemsize,
+            transcendentals=b * h * nq_p * nk_p,
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, do_p, lse_p, delta_p)
+
+    dq_q_spec = pl.BlockSpec((1, 1, block_q, d),
+                             lambda bb, hh, i, j: (bb, hh, i, 0))
+    dq_kv_spec = pl.BlockSpec((1, 1, block_k, d),
+                              lambda bb, hh, i, j: (bb, hh, j, 0))
+    dq_row_spec = pl.BlockSpec((1, 1, block_q, 1),
+                               lambda bb, hh, i, j: (bb, hh, i, 0))
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid=(b, h, nq_p // block_q, nk_p // block_k),
+        in_specs=[dq_q_spec, dq_kv_spec, dq_kv_spec, dq_q_spec,
+                  dq_row_spec, dq_row_spec],
+        out_specs=pl.BlockSpec((1, 1, block_q, d),
+                               lambda bb, hh, i, j: (bb, hh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, nq_p, d), q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * b * h * nq_p * nk_p * d,
+            bytes_accessed=(2 * q_p.size + k_p.size + v_p.size)
+            * q_p.dtype.itemsize,
+            transcendentals=b * h * nq_p * nk_p,
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p, do_p, lse_p, delta_p)
+
+    return dq[:, :, :nq], dk[:, :, :nk], dv[:, :, :nk]

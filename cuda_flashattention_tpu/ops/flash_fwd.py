@@ -1,0 +1,254 @@
+"""FlashAttention-2 forward as a Pallas TPU kernel.
+
+TPU-native re-design of the reference's FA2 forward CUDA kernel
+(ref: src/02_flash_attention_v2_forward/flash_attention_kernel.cu:37-343
+and the ring-ready variant src/03_flash_attention_v2_ring/common/
+flash_attention_kernel.cu:13-172). The algorithm (one online-softmax pass
+over KV tiles, Q tile resident, LSE emitted for the backward) is the same;
+the mapping is TPU-first instead of a translation:
+
+  CUDA reference                        → this kernel
+  -------------------------------------   --------------------------------
+  warp-partitioned Q rows, Q in regs     → Q block resident in VMEM across
+    (kernel.cu:73-96)                      the KV grid axis (index map drops
+                                           the kv index, so Pallas keeps it)
+  K/V tiles staged in shared memory      → K/V blocks streamed HBM→VMEM by
+    (kernel.cu:52-54)                      the Pallas pipeline (auto double-
+                                           buffered across grid steps)
+  lane-strided dot + warp shuffles       → one (Bq,d)x(d,Bk) MXU matmul and
+    (kernel.cu:149-166)                    VPU row reductions
+  m/l in registers per row               → (Bq,128) fp32 VMEM scratch carried
+    (kernel.cu:190-223)                    across the sequential kv grid axis
+  epilogue O←O_acc/l, L←m+log l          → @pl.when(last kv step) epilogue
+    (kernel.cu:280-296)
+  <Br,Bc,d,warps> template params        → BlockSizes runtime config
+    (kernel.cu:311-315)                    (autotunable, VMEM-budget aware)
+
+Extensions over the reference: batch/head dims, bf16 inputs with fp32
+accumulation, causal masking (the reference has none — SURVEY.md §2.3),
+padding masks for non-divisible shapes, and GQA head sharing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_flashattention_tpu.ops.common import (
+    NEG_INF,
+    BlockSizes,
+    cdiv,
+    default_interpret,
+    pad_to_block,
+    resolve_scale,
+)
+
+
+def _fwd_kernel(
+    q_ref, k_ref, v_ref,  # inputs
+    o_ref, lse_ref,       # outputs
+    m_scratch, l_scratch, acc_scratch,  # VMEM scratch, carried over kv steps
+    *,
+    scale: float,
+    causal: bool,
+    kv_offset: int,
+    nq_valid: int,
+    nk_valid: int,
+    block_q: int,
+    block_k: int,
+):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk_blocks = pl.num_programs(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        # -inf init done in-kernel; the reference needs a dedicated fill
+        # kernel because cudaMemset can't write -inf (ref: memo.md:1).
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # Causal block-level skip: a KV block whose first column is beyond the
+    # last query row of this Q block contributes nothing.
+    q_last = (iq + 1) * block_q - 1 + kv_offset
+    block_visible = jnp.logical_or(
+        not causal, ik * block_k <= q_last)
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0]  # (Bq, d)
+        k = k_ref[0, 0]  # (Bk, d)
+        v = v_ref[0, 0]  # (Bk, d)
+
+        # S = Q·Kᵀ on the MXU with fp32 accumulation
+        # (ref: process_kv_block attention_helper.h:62-76).
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (Bq, Bk)
+
+        # Padding mask for the KV tail (reference asserts divisibility
+        # instead, ref: 04_ring_attention.cu:56-63).
+        if nk_valid % block_k != 0:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col + ik * block_k < nk_valid, s, NEG_INF)
+        if causal:
+            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            ok = col + ik * block_k <= row + iq * block_q + kv_offset
+            s = jnp.where(ok, s, NEG_INF)
+
+        # Online softmax update (ref: kernel.cu:190-223).
+        m_prev = m_scratch[:, :1]                       # (Bq, 1)
+        m_curr = jnp.max(s, axis=-1, keepdims=True)     # (Bq, 1)
+        m_next = jnp.maximum(m_prev, m_curr)
+        p = jnp.exp(s - m_next)                         # (Bq, Bk)
+        # Fully-masked rows have m_next == NEG_INF, making exp(s−m)=exp(0)=1
+        # for their masked entries; force those to 0 so l stays 0 and the
+        # epilogue emits O=0 / LSE=−inf.
+        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+        # Single-pass rescale of the running sum and accumulator by
+        # exp(m_prev − m_next) (ref: kernel.cu:237-242; carrying m and l
+        # separately avoids the (x/y)(y/z) fp-error trap, ref: memo.md:5).
+        alpha = jnp.exp(m_prev - m_next)                # (Bq, 1)
+        l_next = l_scratch[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+        # P·V accumulate (ref: kernel.cu:244-260). P is cast to the input
+        # dtype so the MXU runs at full rate; the accumulator stays fp32.
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+
+    @pl.when(ik == nk_blocks - 1)
+    def _epilogue():
+        # O ← O_acc / l and L ← m + log l, written once at the end
+        # (ref: kernel.cu:280-296).
+        l = l_scratch[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
+        m = m_scratch[:, :1]
+        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        lse_ref[0, 0] = lse  # (Bq, 1)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale", "causal", "kv_offset", "block_sizes", "interpret",
+        "out_dtype",
+    ),
+)
+def flash_attention_forward(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    causal: bool = False,
+    kv_offset: int = 0,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+    out_dtype=None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """FA2 forward. q [B,H,Nq,d], k/v [B,Hkv,Nk,d] → (O [B,H,Nq,d], LSE [B,H,Nq]).
+
+    Host-side orchestration counterpart of `flash_attention_2_forward`
+    (ref: 02_fwd/flash_attention_kernel.cu:300-343): resolves tile sizes,
+    pads non-divisible shapes, builds the grid, and dispatches the kernel.
+    Supports GQA: H must be a multiple of Hkv; KV heads are shared via the
+    BlockSpec index map (no materialised repeat).
+    """
+    if q.ndim != 4:
+        raise ValueError(f"expected q [B,H,N,d], got {q.shape}")
+    b, h, nq, d = q.shape
+    _, h_kv, nk, _ = k.shape
+    if h % h_kv != 0:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
+    group = h // h_kv
+    scale = resolve_scale(scale, d)
+    interpret = default_interpret() if interpret is None else interpret
+    out_dtype = q.dtype if out_dtype is None else out_dtype
+
+    bs = (block_sizes or BlockSizes()).clamp(nq, nk)
+    block_q, block_k = bs.block_q, bs.block_k
+
+    q_p = pad_to_block(q, 2, block_q)
+    k_p = pad_to_block(k, 2, block_k)
+    v_p = pad_to_block(v, 2, block_k)
+    nq_p, nk_p = q_p.shape[2], k_p.shape[2]
+    grid = (b, h, nq_p // block_q, nk_p // block_k)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        scale=scale,
+        causal=causal,
+        kv_offset=kv_offset,
+        nq_valid=nq,
+        nk_valid=nk,
+        block_q=block_q,
+        block_k=block_k,
+    )
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda bb, hh, iq, ik: (bb, hh, iq, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda bb, hh, iq, ik, g=group: (bb, hh // g, ik, 0),
+            ),
+            pl.BlockSpec(
+                (1, 1, block_k, d),
+                lambda bb, hh, iq, ik, g=group: (bb, hh // g, ik, 0),
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(
+                (1, 1, block_q, d),
+                lambda bb, hh, iq, ik: (bb, hh, iq, 0),
+            ),
+            # LSE as [B,H,Nq,1]: trailing dim 1 == array dim satisfies the
+            # TPU (8,128) block-divisibility rule without the 128-wide
+            # replication the stock jax kernel pays for its residuals.
+            pl.BlockSpec(
+                (1, 1, block_q, 1),
+                lambda bb, hh, iq, ik: (bb, hh, iq, 0),
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, nq_p, d), out_dtype),
+            jax.ShapeDtypeStruct((b, h, nq_p, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, 128), jnp.float32),  # m
+            pltpu.VMEM((block_q, 128), jnp.float32),  # l
+            pltpu.VMEM((block_q, d), jnp.float32),    # O accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq_p * nk_p * d,
+            bytes_accessed=(q_p.size * q_p.dtype.itemsize
+                            + k_p.size * k_p.dtype.itemsize
+                            + v_p.size * v_p.dtype.itemsize
+                            + b * h * nq_p * d * jnp.dtype(out_dtype).itemsize),
+            transcendentals=b * h * nq_p * nk_p,
+        ),
+        interpret=interpret,
+    )(q_p, k_p, v_p)
+
+    return o[:, :, :nq], lse[:, :, :nq, 0]

@@ -1,0 +1,131 @@
+"""FA2 backward kernels vs oracle — the framework's "stage 02_bwd" ladder.
+
+Keeps the reference's two-case structure: a simple hand-scale case
+(ref: 02_bwd/main.cu:51-189, seq=4 d=4 scale=1, gate 1e-3) and a complex
+random case (ref: :195-309, seq=128 d=64, gate 5e-3), plus cases the
+reference lacks (causal, GQA, non-divisible, bf16, jax.grad end-to-end).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_flashattention_tpu.ops.attention import flash_attention
+from cuda_flashattention_tpu.ops.common import BlockSizes
+from cuda_flashattention_tpu.ops.flash_bwd import flash_attention_backward
+from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+from cuda_flashattention_tpu.ops.naive import (
+    naive_attention,
+    naive_attention_backward,
+)
+from cuda_flashattention_tpu.utils.testing import (
+    assert_close,
+    random_qkv,
+    seeded_random,
+)
+
+
+def _check_grads(q, k, v, tol, causal=False, kv_offset=0, scale=None,
+                 block_sizes=None):
+    do = jnp.asarray(seeded_random(q.shape, 99))
+    o, lse = flash_attention_forward(
+        q, k, v, scale=scale, causal=causal, kv_offset=kv_offset,
+        block_sizes=block_sizes)
+    dq, dk, dv = flash_attention_backward(
+        q, k, v, o, lse, do, scale=scale, causal=causal,
+        kv_offset=kv_offset, block_sizes=block_sizes)
+    dq_r, dk_r, dv_r = naive_attention_backward(
+        q, k, v, do, scale=scale, causal=causal, kv_offset=kv_offset)
+    assert_close(dq, dq_r, tol, "dQ")
+    assert_close(dk, dk_r, tol, "dK")
+    assert_close(dv, dv_r, tol, "dV")
+
+
+def test_simple_4x4():
+    # (ref: 02_bwd/main.cu:51-189 — seq=4, d=4, scale=1, gate 1e-3)
+    q, k, v = random_qkv(1, 1, 4, 4, 4)
+    _check_grads(q, k, v, tol=1e-3, scale=1.0)
+
+
+def test_complex_128x64():
+    # (ref: 02_bwd/main.cu:195-309 — seq=128, d=64, random ±0.5, gate 5e-3)
+    q, k, v = random_qkv(1, 1, 128, 128, 64)
+    _check_grads(q, k, v, tol=5e-3)
+
+
+def test_multihead():
+    q, k, v = random_qkv(2, 3, 192, 256, 64)
+    _check_grads(q, k, v, tol=5e-3)
+
+
+def test_causal():
+    q, k, v = random_qkv(1, 2, 160, 160, 64)
+    _check_grads(q, k, v, tol=5e-3, causal=True)
+
+
+def test_causal_kv_offset():
+    q, k, v = random_qkv(1, 1, 64, 192, 32)
+    _check_grads(q, k, v, tol=5e-3, causal=True, kv_offset=128)
+
+
+@pytest.mark.parametrize("nq,nk", [(100, 72), (65, 130)])
+def test_non_divisible(nq, nk):
+    q, k, v = random_qkv(1, 1, nq, nk, 32)
+    _check_grads(q, k, v, tol=5e-3)
+
+
+@pytest.mark.parametrize("bq,bk", [(8, 8), (32, 64)])
+def test_block_sweep(bq, bk):
+    q, k, v = random_qkv(1, 1, 96, 96, 32)
+    _check_grads(q, k, v, tol=5e-3,
+                 block_sizes=BlockSizes(block_q_bwd=bq, block_k_bwd=bk))
+
+
+def test_jax_grad_end_to_end():
+    """flash_attention is a custom_vjp op: jax.grad must agree with the
+    oracle's gradients (the reference has no autodiff — its tests call
+    fwd/bwd separately; ours compose)."""
+    q, k, v = random_qkv(1, 2, 128, 128, 64)
+    do = jnp.asarray(seeded_random(q.shape, 42))
+
+    dq, dk, dv = jax.grad(
+        lambda q, k, v: jnp.vdot(flash_attention(q, k, v, causal=True), do),
+        argnums=(0, 1, 2))(q, k, v)
+    dq_r, dk_r, dv_r = naive_attention_backward(q, k, v, do, causal=True)
+    assert_close(dq, dq_r, 5e-3, "dQ")
+    assert_close(dk, dk_r, 5e-3, "dK")
+    assert_close(dv, dv_r, 5e-3, "dV")
+
+
+def test_jax_grad_gqa():
+    q, _, _ = random_qkv(1, 4, 64, 64, 32)
+    _, k, v = random_qkv(1, 2, 64, 64, 32, seed=3)
+    do = jnp.asarray(seeded_random(q.shape, 17))
+
+    dq, dk, dv = jax.grad(
+        lambda q, k, v: jnp.vdot(flash_attention(q, k, v), do),
+        argnums=(0, 1, 2))(q, k, v)
+
+    k_full, v_full = jnp.repeat(k, 2, 1), jnp.repeat(v, 2, 1)
+    dq_r, dk_full, dv_full = naive_attention_backward(q, k_full, v_full, do)
+    dk_r = dk_full.reshape(1, 2, 2, 64, 32).sum(axis=2)
+    dv_r = dv_full.reshape(1, 2, 2, 64, 32).sum(axis=2)
+    assert_close(dq, dq_r, 5e-3, "dQ")
+    assert_close(dk, dk_r, 5e-3, "dK")
+    assert_close(dv, dv_r, 5e-3, "dV")
+
+
+def test_bf16_grads():
+    q, k, v = random_qkv(1, 1, 128, 128, 64, dtype=jnp.bfloat16)
+    do = jnp.asarray(seeded_random(q.shape, 23), jnp.bfloat16)
+    dq, dk, dv = jax.grad(
+        lambda q, k, v: jnp.vdot(
+            flash_attention(q, k, v).astype(jnp.float32),
+            do.astype(jnp.float32)),
+        argnums=(0, 1, 2))(q, k, v)
+    assert dq.dtype == jnp.bfloat16
+    dq_r, dk_r, dv_r = naive_attention_backward(q, k, v, do)
+    assert_close(dq.astype(jnp.float32), dq_r, 3e-2, "dQ (bf16)")
+    assert_close(dk.astype(jnp.float32), dk_r, 3e-2, "dK (bf16)")
+    assert_close(dv.astype(jnp.float32), dv_r, 3e-2, "dV (bf16)")

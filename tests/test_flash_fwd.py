@@ -1,0 +1,105 @@
+"""FA2 forward kernel vs oracle — the framework's "stage 02_fwd" ladder.
+
+Keeps the reference's fixture ladder (SURVEY.md §4): tiny hand-checkable
+cases, seeded random at the reference's exact shapes (512x64, ref:
+02_fwd/main.cu:14-33), block-size sweeps (ref: 01/main.cu:342-344), and
+non-divisible edge sizes.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_flashattention_tpu.ops.common import BlockSizes
+from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+from cuda_flashattention_tpu.ops.naive import naive_attention
+from cuda_flashattention_tpu.utils.testing import (
+    assert_close,
+    identity_qk_fixture,
+    random_qkv,
+)
+
+
+def _run(q, k, v, tol=5e-3, lse_tol=1e-2, **kw):
+    o, lse = flash_attention_forward(q, k, v, **kw)
+    o_ref, lse_ref = naive_attention(
+        q, k, v, scale=kw.get("scale"), causal=kw.get("causal", False),
+        kv_offset=kw.get("kv_offset", 0))
+    assert_close(o, o_ref, tol, "O")
+    assert_close(lse, lse_ref, lse_tol, "LSE")
+
+
+def test_identity_4x4():
+    # (ref: 02_fwd/main.cu:115-262 test_simple_attention, 4x4, scale=1)
+    q, k, v = identity_qk_fixture(4, 4)
+    _run(q[None, None], k[None, None], v[None, None], tol=1e-3, scale=1.0)
+
+
+def test_reference_shape_512x64():
+    # (ref: 02_fwd/main.cu:12-112 — seq=512, d=64, pass gate 5e-3 at :89)
+    q, k, v = random_qkv(1, 1, 512, 512, 64)
+    _run(q, k, v, tol=5e-3)
+
+
+def test_multihead_batched():
+    q, k, v = random_qkv(2, 4, 256, 384, 64)
+    _run(q, k, v, tol=5e-3)
+
+
+@pytest.mark.parametrize("block_q,block_k", [(8, 8), (16, 32), (64, 128),
+                                             (128, 64)])
+def test_block_size_sweep(block_q, block_k):
+    # Same case at several tile sizes to shake tiling bugs
+    # (ref: 01/main.cu:342-344 runs Bc ∈ {1,2,4}).
+    q, k, v = random_qkv(1, 2, 160, 160, 64)
+    _run(q, k, v, tol=5e-3,
+         block_sizes=BlockSizes(block_q=block_q, block_k=block_k))
+
+
+@pytest.mark.parametrize("nq,nk", [(3, 5), (100, 64), (257, 129), (64, 1)])
+def test_non_divisible_shapes(nq, nk):
+    # The reference asserts divisibility (ref: 04_ring_attention.cu:56-63);
+    # we must mask instead (SURVEY.md §7 hard part (e)).
+    q, k, v = random_qkv(1, 1, nq, nk, 32)
+    _run(q, k, v, tol=5e-3)
+
+
+def test_causal():
+    q, k, v = random_qkv(1, 2, 200, 200, 64)
+    _run(q, k, v, tol=5e-3, causal=True)
+
+
+def test_causal_kv_offset():
+    # Sequence-sharded caller: this Q shard starts at global row 128.
+    q, k, v = random_qkv(1, 2, 64, 192, 64)
+    _run(q, k, v, tol=5e-3, causal=True, kv_offset=128)
+
+
+def test_causal_fully_masked_rows():
+    # kv_offset < 0 makes early rows see nothing; their output must be 0.
+    q, k, v = random_qkv(1, 1, 32, 32, 32)
+    o, lse = flash_attention_forward(q, k, v, causal=True, kv_offset=-8)
+    assert np.all(np.asarray(o[0, 0, :8]) == 0.0)
+    o_ref, _ = naive_attention(q, k, v, causal=True, kv_offset=-8)
+    assert_close(o[:, :, 8:], o_ref[:, :, 8:], 5e-3, "O")
+
+
+def test_gqa():
+    q, _, _ = random_qkv(2, 8, 128, 128, 64)
+    _, k, v = random_qkv(2, 2, 128, 128, 64, seed=5)
+    o, _ = flash_attention_forward(q, k, v)
+    o_ref, _ = naive_attention(q, jnp.repeat(k, 4, 1), jnp.repeat(v, 4, 1))
+    assert_close(o, o_ref, 5e-3, "O (GQA)")
+
+
+def test_bf16_inputs():
+    q, k, v = random_qkv(1, 2, 256, 256, 64, dtype=jnp.bfloat16)
+    o, _ = flash_attention_forward(q, k, v)
+    assert o.dtype == jnp.bfloat16
+    o_ref, _ = naive_attention(q, k, v)
+    assert_close(o.astype(jnp.float32), o_ref, 2e-2, "O (bf16)")
+
+
+def test_scale_override():
+    q, k, v = random_qkv(1, 1, 64, 64, 32)
+    _run(q, k, v, tol=5e-3, scale=1.0)
