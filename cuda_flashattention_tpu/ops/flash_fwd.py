@@ -50,10 +50,7 @@ from cuda_flashattention_tpu.ops.common import (
 
 
 def _fwd_kernel(
-    q_ref, k_ref, v_ref,  # inputs
-    o_ref, lse_ref,       # outputs
-    m_scratch, l_scratch, acc_scratch,  # VMEM scratch, carried over kv steps
-    *,
+    *refs,  # inputs, outputs, scratch — see unpacking below
     scale: float,
     causal: bool,
     kv_offset: int,
@@ -61,7 +58,20 @@ def _fwd_kernel(
     nk_valid: int,
     block_q: int,
     block_k: int,
+    quantized: bool,
 ):
+    if quantized:
+        # K/V arrive quantized (int8 / fp8) with per-token fp32 scales laid
+        # out [B,Hkv,1,N] so the kernel sees them as (1, Bk) row vectors —
+        # dequantisation is FOLDED into the matmuls (weight-only style):
+        # S = (Q·K_qᵀ) ⊙ k_scaleᵀ and O += (P ⊙ v_scaleᵀ)·V_q. The int8/fp8
+        # → bf16 casts are exact, so no precision is lost beyond the MXU.
+        (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
+         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch) = refs
+    else:
+        (q_ref, k_ref, v_ref,
+         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch) = refs
+        k_scale_ref = v_scale_ref = None
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk_blocks = pl.num_programs(3)
@@ -83,8 +93,12 @@ def _fwd_kernel(
     @pl.when(block_visible)
     def _compute():
         q = q_ref[0, 0]  # (Bq, d)
-        k = k_ref[0, 0]  # (Bk, d)
-        v = v_ref[0, 0]  # (Bk, d)
+        cd = q.dtype     # MXU compute dtype; int8/fp8 casts to it are exact
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        if quantized:
+            k = k.astype(cd)
+            v = v.astype(cd)
 
         # S = Q·Kᵀ on the MXU with fp32 accumulation
         # (ref: process_kv_block attention_helper.h:62-76).
@@ -92,6 +106,8 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (Bq, Bk)
+        if quantized:
+            s = s * k_scale_ref[0, 0]  # (1, Bk) per-token dequant, folded
 
         # Padding mask for the KV tail (reference asserts divisibility
         # instead, ref: 04_ring_attention.cu:56-63).
@@ -122,8 +138,10 @@ def _fwd_kernel(
         l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
         # P·V accumulate (ref: kernel.cu:244-260). P is cast to the input
         # dtype so the MXU runs at full rate; the accumulator stays fp32.
+        if quantized:
+            p = p * v_scale_ref[0, 0]  # (1, Bk) per-token dequant, folded
         pv = jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            p.astype(cd), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         acc_scratch[...] = acc_scratch[...] * alpha + pv
@@ -157,6 +175,8 @@ def flash_attention_forward(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     out_dtype=None,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FA2 forward. q [B,H,Nq,d], k/v [B,Hkv,Nk,d] → (O [B,H,Nq,d], LSE [B,H,Nq]).
 
@@ -165,6 +185,11 @@ def flash_attention_forward(
     pads non-divisible shapes, builds the grid, and dispatches the kernel.
     Supports GQA: H must be a multiple of Hkv; KV heads are shared via the
     BlockSpec index map (no materialised repeat).
+
+    Quantized KV (the north-star FP8/INT8 KV-cache path, BASELINE.md): pass
+    k/v as int8 or float8_e4m3fn plus per-token fp32 scales k_scale/v_scale
+    [B,Hkv,Nk]; dequant is folded into the QKᵀ / PV matmuls in-kernel
+    (see ops.quant for the quantiser and the public wrapper).
     """
     if q.ndim != 4:
         raise ValueError(f"expected q [B,H,N,d], got {q.shape}")
@@ -176,6 +201,9 @@ def flash_attention_forward(
     scale = resolve_scale(scale, d)
     interpret = default_interpret() if interpret is None else interpret
     out_dtype = q.dtype if out_dtype is None else out_dtype
+    quantized = k_scale is not None
+    if quantized and v_scale is None:
+        raise ValueError("k_scale given without v_scale")
 
     bs = (block_sizes or BlockSizes()).clamp(nq, nk)
     block_q, block_k = bs.block_q, bs.block_k
@@ -195,7 +223,24 @@ def flash_attention_forward(
         nk_valid=nk,
         block_q=block_q,
         block_k=block_k,
+        quantized=quantized,
     )
+
+    inputs = [q_p, k_p, v_p]
+    scale_specs = []
+    if quantized:
+        # scales laid out [B,Hkv,1,N] so each block is a (1, Bk) row vector
+        for sc in (k_scale, v_scale):
+            if sc.shape != (b, h_kv, nk):
+                raise ValueError(
+                    f"scale shape {sc.shape} != {(b, h_kv, nk)}")
+            sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32), 3,
+                              block_k, value=1.0)
+            inputs.append(sc)
+            scale_specs.append(pl.BlockSpec(
+                (1, 1, 1, block_k),
+                lambda bb, hh, iq, ik, g=group: (bb, hh // g, 0, ik),
+            ))
 
     o, lse = pl.pallas_call(
         kernel,
@@ -213,6 +258,7 @@ def flash_attention_forward(
                 (1, 1, block_k, d),
                 lambda bb, hh, iq, ik, g=group: (bb, hh // g, ik, 0),
             ),
+            *scale_specs,
         ],
         out_specs=[
             pl.BlockSpec(
@@ -249,6 +295,6 @@ def flash_attention_forward(
             transcendentals=b * h * nq_p * nk_p,
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p)
+    )(*inputs)
 
     return o[:, :, :nq], lse[:, :, :nq, 0]
