@@ -25,15 +25,35 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 __version__ = "0.1.0"
 
 from cuda_flashattention_tpu.ops.attention import flash_attention, mha
+from cuda_flashattention_tpu.ops.decode import decode_attention
+from cuda_flashattention_tpu.ops.kv_cache import (
+    KVCache,
+    append,
+    decode_step,
+    init_cache,
+)
 from cuda_flashattention_tpu.ops.naive import (
     naive_attention,
     naive_attention_backward,
+)
+from cuda_flashattention_tpu.ops.quant import (
+    QuantizedKV,
+    flash_attention_quantized,
+    quantize_kv,
 )
 
 __all__ = [
     "flash_attention",
     "mha",
+    "decode_attention",
+    "KVCache",
+    "append",
+    "decode_step",
+    "init_cache",
     "naive_attention",
     "naive_attention_backward",
+    "QuantizedKV",
+    "flash_attention_quantized",
+    "quantize_kv",
     "__version__",
 ]

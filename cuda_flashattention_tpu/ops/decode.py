@@ -1,0 +1,218 @@
+"""Single-token decode attention over a (possibly quantized) KV cache.
+
+North-star path (BASELINE.json configs: "Ring attention decode: 1M-token
+context... decode tokens/s vs context length, FP8 KV"). No reference
+analog — the CUDA ladder is prefill-only — but this is where the quantized
+cache pays: decode attention is HBM-bandwidth-bound (every step streams
+the whole cache through VMEM once), so int8/fp8 KV cuts the bytes 4× and
+scales tokens/s accordingly.
+
+Design:
+  * q for one step is [B, H, d]; for GQA it is regrouped to
+    [B, Hkv, G, d] (G = H/Hkv query heads sharing a KV head) so the MXU
+    sees a (G, d)·(d, Bk) matmul instead of degenerate rank-1 products.
+  * grid (B, Hkv, max_blocks): batch/head parallel, KV blocks sequential
+    with the same online-softmax VMEM carry as the prefill kernel.
+  * Dynamic context length via scalar prefetch: `lengths[B]` is prefetched
+    (pltpu.PrefetchScalarGridSpec) and the K/V BlockSpec index maps CLAMP
+    the block index to the last valid block — past-the-end grid steps
+    re-reference the same block, which the Pallas pipeline recognises and
+    skips the DMA, and `@pl.when` skips their compute. The cache can be
+    over-allocated to max_len with near-zero cost for short contexts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_flashattention_tpu.ops.common import (
+    NEG_INF,
+    cdiv,
+    default_interpret,
+    pad_to_block,
+    resolve_scale,
+)
+
+
+def _decode_kernel(
+    len_ref,  # scalar prefetch: lengths [B] int32
+    *refs,
+    scale: float,
+    block_k: int,
+    quantized: bool,
+    group: int,
+):
+    if quantized:
+        (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
+         o_ref, lse_ref, m_s, l_s, acc_s) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s) = refs
+        k_scale_ref = v_scale_ref = None
+
+    b = pl.program_id(0)
+    ik = pl.program_id(2)
+    nblk = pl.num_programs(2)
+    length = len_ref[b]
+
+    @pl.when(ik == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(ik * block_k < length)
+    def _compute():
+        q = q_ref[0, 0]  # (G, d)
+        cd = q.dtype
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        if quantized:
+            k = k.astype(cd)
+            v = v.astype(cd)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (G, Bk)
+        if quantized:
+            s = s * k_scale_ref[0, 0]
+        # mask the tail of the last valid block (dynamic length)
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col + ik * block_k < length, s, NEG_INF)
+
+        m_prev = m_s[:, :1]
+        m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_next)
+        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+        alpha = jnp.exp(m_prev - m_next)
+        l_s[...] = jnp.broadcast_to(
+            l_s[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+            l_s.shape)
+        m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
+        if quantized:
+            p = p * v_scale_ref[0, 0]
+        acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+            p.astype(cd), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ik == nblk - 1)
+    def _epilogue():
+        l = l_s[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
+                                  m_s[:, :1] + jnp.log(l_safe))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "block_k", "interpret"),
+)
+def decode_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One decode step: q [B,H,d] attends to cache k/v [B,Hkv,max_N,d].
+
+    `lengths` [B] int32 gives each sequence's live context; cache rows at
+    or beyond a sequence's length are never read (clamped index maps) nor
+    attended (masked). Quantized caches pass per-token scales [B,Hkv,max_N].
+
+    Returns (o [B,H,d], lse [B,H]) — LSE enables cross-shard combination
+    for ring decode (parallel/ring.py).
+    """
+    b, h, d = q.shape
+    _, h_kv, max_n, _ = k.shape
+    if h % h_kv != 0:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
+    group = h // h_kv
+    scale = resolve_scale(scale, d)
+    interpret = default_interpret() if interpret is None else interpret
+    quantized = k_scale is not None
+    if quantized and v_scale is None:
+        raise ValueError("k_scale given without v_scale")
+
+    # Regroup query heads under their KV head and pad the group dim to the
+    # fp32 sublane minimum (8) so tiles stay legal for tiny groups.
+    g_pad = max(8, group)
+    q_g = q.reshape(b, h_kv, group, d)
+    if g_pad != group:
+        q_g = jnp.pad(q_g, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    block_k = min(block_k, max(8, max_n))
+    k_p = pad_to_block(k, 2, block_k)
+    v_p = pad_to_block(v, 2, block_k)
+    max_np = k_p.shape[2]
+    nblk = max_np // block_k
+
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+
+    def kv_index(bb, hh, ik, len_ref):
+        last = jnp.maximum(pl.cdiv(len_ref[bb], block_k) - 1, 0)
+        return (bb, hh, jnp.minimum(ik, last), 0)
+
+    def scale_index(bb, hh, ik, len_ref):
+        last = jnp.maximum(pl.cdiv(len_ref[bb], block_k) - 1, 0)
+        return (bb, hh, 0, jnp.minimum(ik, last))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, g_pad, d), lambda bb, hh, ik, len_ref: (bb, hh, 0, 0)),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
+        pl.BlockSpec((1, 1, block_k, d), kv_index),
+    ]
+    inputs = [q_g, k_p, v_p]
+    if quantized:
+        for sc in (k_scale, v_scale):
+            sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32), 3,
+                              block_k, value=1.0)
+            inputs.append(sc)
+            in_specs.append(pl.BlockSpec((1, 1, 1, block_k), scale_index))
+
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, block_k=block_k,
+        quantized=quantized, group=group)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(b, h_kv, nblk),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, g_pad, d),
+                             lambda bb, hh, ik, len_ref: (bb, hh, 0, 0)),
+                pl.BlockSpec((1, 1, g_pad, 1),
+                             lambda bb, hh, ik, len_ref: (bb, hh, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((g_pad, 128), jnp.float32),
+                pltpu.VMEM((g_pad, 128), jnp.float32),
+                pltpu.VMEM((g_pad, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_kv, g_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, g_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(lengths, *inputs)
+
+    o = o[:, :, :group].reshape(b, h, d)
+    lse = lse[:, :, :group, 0].reshape(b, h)
+    return o, lse

@@ -1,0 +1,121 @@
+"""Decode attention + KV cache manager tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cuda_flashattention_tpu.ops.decode import decode_attention
+from cuda_flashattention_tpu.ops.kv_cache import (
+    KVCache,
+    append,
+    decode_step,
+    init_cache,
+)
+from cuda_flashattention_tpu.ops.naive import naive_attention
+from cuda_flashattention_tpu.ops.quant import quantize_kv
+from cuda_flashattention_tpu.utils.testing import (
+    assert_close,
+    random_qkv,
+    seeded_random,
+)
+
+
+def _oracle_decode(q, k, v, lengths):
+    """fp32 oracle: per-batch masked single-query attention."""
+    b, h, d = q.shape
+    outs, lses = [], []
+    for i in range(b):
+        n = int(lengths[i])
+        o, lse = naive_attention(q[i][:, None, :], k[i, :, :n], v[i, :, :n])
+        outs.append(o[:, 0])
+        lses.append(lse[:, 0])
+    return jnp.stack(outs), jnp.stack(lses)
+
+
+def test_decode_full_cache():
+    qkv = random_qkv(2, 4, 256, 256, 64)
+    k, v = qkv[1], qkv[2]
+    q = jnp.asarray(seeded_random((2, 4, 64), 3))
+    lengths = np.array([256, 256], np.int32)
+    o, lse = decode_attention(q, k, v, lengths)
+    o_ref, lse_ref = _oracle_decode(q, k, v, lengths)
+    assert_close(o, o_ref, 5e-3, "O")
+    assert_close(lse, lse_ref, 1e-2, "LSE")
+
+
+def test_decode_partial_lengths():
+    """Rows past each sequence's length must not contribute — fill the
+    dead region with huge values to catch any leak."""
+    _, k, v = random_qkv(3, 2, 0, 512, 64)
+    k = k.at[:, :, 200:].set(1e4)
+    v = v.at[:, :, 200:].set(1e4)
+    q = jnp.asarray(seeded_random((3, 2, 64), 4))
+    lengths = np.array([1, 130, 200], np.int32)
+    o, lse = decode_attention(q, k, v, lengths, block_k=128)
+    o_ref, lse_ref = _oracle_decode(q, k, v, lengths)
+    assert_close(o, o_ref, 5e-3, "O")
+    assert_close(lse, lse_ref, 1e-2, "LSE")
+
+
+def test_decode_gqa():
+    _, k, v = random_qkv(1, 2, 0, 128, 64)
+    q = jnp.asarray(seeded_random((1, 8, 64), 5))
+    lengths = np.array([128], np.int32)
+    o, _ = decode_attention(q, k, v, lengths)
+    o_ref, _ = _oracle_decode(q, jnp.repeat(k, 4, 1), jnp.repeat(v, 4, 1),
+                              lengths)
+    assert_close(o, o_ref, 5e-3, "O (GQA)")
+
+
+@pytest.mark.parametrize("qtype,tol", [("int8", 2e-3), ("fp8", 2e-2)])
+def test_decode_quantized(qtype, tol):
+    _, k, v = random_qkv(1, 2, 0, 384, 64)
+    q = jnp.asarray(seeded_random((1, 2, 64), 6))
+    kv = quantize_kv(k, v, qtype)
+    lengths = np.array([300], np.int32)
+    o, _ = decode_attention(q, kv.k_q, kv.v_q, lengths,
+                            k_scale=kv.k_scale, v_scale=kv.v_scale,
+                            block_k=128)
+    o_ref, _ = _oracle_decode(q, k, v, lengths)
+    assert_close(o, o_ref, tol, f"O ({qtype})")
+
+
+@pytest.mark.parametrize("qtype", [None, "int8"])
+def test_cache_append_then_decode(qtype):
+    """Prefill via append, then a decode step — the serving loop shape."""
+    b, hkv, h, d, n = 2, 2, 4, 64, 96
+    cache = init_cache(b, hkv, 256, d, qtype=qtype, dtype=jnp.float32)
+    k = jnp.asarray(seeded_random((b, hkv, n, d), 7))
+    v = jnp.asarray(seeded_random((b, hkv, n, d), 8))
+    cache = append(cache, k, v)
+    assert int(cache.length) == n
+
+    # next token
+    k1 = jnp.asarray(seeded_random((b, hkv, 1, d), 9))
+    v1 = jnp.asarray(seeded_random((b, hkv, 1, d), 10))
+    cache = append(cache, k1, v1)
+    q = jnp.asarray(seeded_random((b, h, d), 11))
+    o, _ = decode_step(q, cache)
+
+    k_full = jnp.concatenate([k, k1], axis=2)
+    v_full = jnp.concatenate([v, v1], axis=2)
+    o_ref, _ = _oracle_decode(
+        q, jnp.repeat(k_full, 2, 1), jnp.repeat(v_full, 2, 1),
+        np.full((b,), n + 1))
+    tol = 5e-3 if qtype is None else 5e-3
+    assert_close(o, o_ref, tol, f"O cache ({qtype})")
+
+
+def test_cache_is_pytree():
+    cache = init_cache(1, 1, 16, 8, qtype="int8")
+    flat, tree = jax.tree_util.tree_flatten(cache)
+    cache2 = jax.tree_util.tree_unflatten(tree, flat)
+    assert isinstance(cache2, KVCache)
+    assert cache2.quantized
+
+    # append must work under jit with donated cache
+    step = jax.jit(append, donate_argnums=0)
+    k1 = jnp.ones((1, 1, 4, 8), jnp.float32)
+    cache3 = step(cache, k1, k1)
+    assert int(cache3.length) == 4
