@@ -1,0 +1,303 @@
+"""Ring (sequence-parallel) attention over a device mesh.
+
+TPU-native re-design of the reference's ring attention
+(ref: src/03_flash_attention_v2_ring/common/ring_attention_kernel.cu:13-239
+and 04_ring_attention.cu:9-154). Capability parity, different machinery:
+
+  CUDA reference                          → this module
+  ---------------------------------------   ------------------------------
+  MPI process per GPU, NCCL comm            shard_map over a Mesh axis
+  row-shard Q/K/V per rank (04:66-84)       PartitionSpec over the seq dim
+  ncclSend/Recv K,V to next rank on a       jax.lax.ppermute — XLA emits
+    comm stream (ring_exchange_kv,            collective-permute over ICI
+    nccl_utils.h:133-142)
+  unnormalised O + l,m state reloaded        per-step (O_i, LSE_i) pairs
+    from HBM each step, normalise on          combined by exact logsumexp
+    last step (ring kernel :64-79,109-139)    weighting (log-space, which
+                                              sidesteps the fp drift the
+                                              reference memoises about —
+                                              memo.md:5)
+  dual streams + cudaDeviceSynchronize       permute issued before the
+    per step (:192-220, a full join!)          step's kernel; XLA schedules
+                                              the collective concurrently
+  no causal support, forward only            causal via per-step
+    (SURVEY.md §2.3)                          full/diagonal/skip dispatch;
+                                              full backward (custom_vjp)
+                                              with rotating dK/dV
+
+The backward is the standard ring-attention gradient: each (Q-shard,
+KV-block) pair contributes flash-backward partials computed against the
+GLOBAL LSE; dK/dV accumulators travel around the ring with their KV block
+and land home after a final permute. The reference has no distributed
+backward at all — this is new capability, same design language.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from cuda_flashattention_tpu.ops.common import (
+    NEG_INF,
+    BlockSizes,
+    resolve_scale,
+)
+from cuda_flashattention_tpu.ops.decode import decode_attention
+from cuda_flashattention_tpu.ops.flash_bwd import flash_attention_backward
+from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+
+
+def combine_partials(o1, lse1, o2, lse2):
+    """Merge two normalised partial attention results over disjoint key
+    sets: O = Σᵢ Oᵢ·exp(LSEᵢ − LSE), LSE = logaddexp(LSEᵢ).
+
+    Log-space combination avoids the reference's documented online-rescale
+    drift ((x/y)·(y/z) ≠ x/z in fp — ref: memo.md:5)."""
+    lse = jnp.logaddexp(lse1, lse2)
+    w1 = jnp.exp(lse1 - lse)[..., None]
+    w2 = jnp.exp(lse2 - lse)[..., None]
+    return o1 * w1 + o2 * w2, lse
+
+
+def _step_fwd(q, k, v, kv_idx, my_idx, *, scale, causal, block_sizes,
+              interpret):
+    """One ring step's local attention with causal block dispatch.
+
+    For equal sequence shards, global causality reduces to three static
+    cases (so masks stay compile-time): KV block strictly behind the Q
+    shard → full attention; same block → local causal; strictly ahead →
+    skip (zero output, −inf LSE)."""
+    kw = dict(scale=scale, block_sizes=block_sizes, interpret=interpret,
+              out_dtype=jnp.float32)
+
+    if not causal:
+        return flash_attention_forward(q, k, v, causal=False, **kw)
+
+    def full_fn(args):
+        return flash_attention_forward(*args, causal=False, **kw)
+
+    def diag_fn(args):
+        return flash_attention_forward(*args, causal=True, **kw)
+
+    def skip_fn(args):
+        qq = args[0]
+        b, h, n, d = qq.shape
+        return (jnp.zeros((b, h, n, d), jnp.float32),
+                jnp.full((b, h, n), NEG_INF, jnp.float32))
+
+    branch = jnp.where(kv_idx < my_idx, 0,
+                       jnp.where(kv_idx == my_idx, 1, 2))
+    return jax.lax.switch(branch, [full_fn, diag_fn, skip_fn], (q, k, v))
+
+
+def _step_bwd(q, k, v, o, lse, do, kv_idx, my_idx, *, scale, causal,
+              block_sizes, interpret):
+    """One ring step's gradient partials (vs the global LSE)."""
+    kw = dict(scale=scale, block_sizes=block_sizes, interpret=interpret)
+
+    if not causal:
+        return flash_attention_backward(q, k, v, o, lse, do, causal=False,
+                                        **kw)
+
+    def full_fn(args):
+        return flash_attention_backward(*args, causal=False, **kw)
+
+    def diag_fn(args):
+        return flash_attention_backward(*args, causal=True, **kw)
+
+    def skip_fn(args):
+        qq, kk, vv = args[0], args[1], args[2]
+        return (jnp.zeros_like(qq), jnp.zeros_like(kk), jnp.zeros_like(vv))
+
+    branch = jnp.where(kv_idx < my_idx, 0,
+                       jnp.where(kv_idx == my_idx, 1, 2))
+    return jax.lax.switch(branch, [full_fn, diag_fn, skip_fn],
+                          (q, k, v, o, lse, do))
+
+
+def _make_ring_local(axis_name: str, n_shards: int, scale: float,
+                     causal: bool, block_sizes, interpret):
+    """Build the per-shard ring function (runs inside shard_map)."""
+    # Send to the next rank, receive from the previous — the same ring
+    # orientation as the reference (ref: nccl_utils.h:115-121).
+    perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    @jax.custom_vjp
+    def ring_local(q, k, v):
+        o, _ = _ring_fwd(q, k, v)
+        return o.astype(q.dtype)
+
+    def _ring_fwd(q, k, v):
+        my_idx = jax.lax.axis_index(axis_name)
+        o = None
+        lse = None
+        k_cur, v_cur = k, v
+        for step in range(n_shards):
+            # Issue next shard's transfer BEFORE this step's compute —
+            # they are independent, so XLA overlaps the collective-permute
+            # with the kernel (the reference emulates this with dual CUDA
+            # streams, ref: ring_attention_kernel.cu:192-218).
+            if step < n_shards - 1:
+                k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+                v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+            kv_idx = (my_idx - step) % n_shards
+            o_s, lse_s = _step_fwd(
+                q, k_cur, v_cur, kv_idx, my_idx, scale=scale, causal=causal,
+                block_sizes=block_sizes, interpret=interpret)
+            if o is None:
+                o, lse = o_s, lse_s
+            else:
+                o, lse = combine_partials(o, lse, o_s, lse_s)
+            if step < n_shards - 1:
+                k_cur, v_cur = k_nxt, v_nxt
+        return o, lse
+
+    def ring_fwd_vjp(q, k, v):
+        o, lse = _ring_fwd(q, k, v)
+        return o.astype(q.dtype), (q, k, v, o.astype(q.dtype), lse)
+
+    def ring_bwd_vjp(res, do):
+        q, k, v, o, lse = res
+        my_idx = jax.lax.axis_index(axis_name)
+        dq = jnp.zeros(q.shape, jnp.float32)
+        dk_cur = jnp.zeros(k.shape, jnp.float32)
+        dv_cur = jnp.zeros(v.shape, jnp.float32)
+        k_cur, v_cur = k, v
+        for step in range(n_shards):
+            kv_idx = (my_idx - step) % n_shards
+            dq_s, dk_s, dv_s = _step_bwd(
+                q, k_cur, v_cur, o, lse, do, kv_idx, my_idx, scale=scale,
+                causal=causal, block_sizes=block_sizes, interpret=interpret)
+            dq = dq + dq_s.astype(jnp.float32)
+            dk_cur = dk_cur + dk_s.astype(jnp.float32)
+            dv_cur = dv_cur + dv_s.astype(jnp.float32)
+            if step < n_shards - 1:
+                # dK/dV accumulators travel WITH their KV block.
+                k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
+                v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+                dk_cur = jax.lax.ppermute(dk_cur, axis_name, perm)
+                dv_cur = jax.lax.ppermute(dv_cur, axis_name, perm)
+        # One final hop brings each accumulated dK/dV shard home.
+        dk_home = jax.lax.ppermute(dk_cur, axis_name, perm)
+        dv_home = jax.lax.ppermute(dv_cur, axis_name, perm)
+        return (dq.astype(q.dtype), dk_home.astype(k.dtype),
+                dv_home.astype(v.dtype))
+
+    ring_local.defvjp(ring_fwd_vjp, ring_bwd_vjp)
+    return ring_local
+
+
+def ring_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    scale: Optional[float] = None,
+    causal: bool = False,
+    block_sizes: Optional[BlockSizes] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Sequence-parallel attention: q/k/v [B,H,N,d] sharded on N over
+    `axis_name`. Differentiable (custom ring backward). Counterpart of
+    `ring_attention_forward` + the missing distributed backward
+    (ref: ring_attention_kernel.cu:143-239).
+
+    Sequence length must divide the axis size (the reference asserts the
+    same, ref: 04_ring_attention.cu:56-63; padding support is planned at
+    this level — the single-chip kernels already mask)."""
+    n_shards = mesh.shape[axis_name]
+    b, h, n, d = q.shape
+    if n % n_shards != 0:
+        raise ValueError(
+            f"seq len {n} must divide the '{axis_name}' axis "
+            f"({n_shards} shards)")
+    if k.shape[1] != h:
+        raise ValueError("ring_attention requires matched q/kv heads; "
+                         "repeat KV heads for GQA before sharding")
+    scale = resolve_scale(scale, d)
+
+    ring_local = _make_ring_local(axis_name, n_shards, scale, causal,
+                                  block_sizes, interpret)
+    spec = P(None, None, axis_name, None)
+    f = jax.shard_map(ring_local, mesh=mesh, in_specs=(spec, spec, spec),
+                      out_specs=spec, check_vma=False)
+    return f(q, k, v)
+
+
+def ring_decode_local(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    length,
+    axis_name: str = "sp",
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sharded-KV decode, called INSIDE shard_map: each shard attends its
+    resident (possibly quantized) KV slice, partials are merged with one
+    psum-weighted combine. No rotation — for decode the Qs are tiny and
+    the KV stays put, so the TPU-native pattern is a reduction, not a
+    ring. Returns replicated (o [B,H,d], lse [B,H])."""
+    b = q.shape[0]
+    lengths = jnp.full((b,), length, jnp.int32)
+    o_i, lse_i = decode_attention(
+        q, k, v, lengths, k_scale=k_scale, v_scale=v_scale, scale=scale,
+        block_k=block_k, interpret=interpret)
+    lse_max = jax.lax.pmax(lse_i, axis_name)
+    w = jnp.exp(lse_i - lse_max)
+    o_w = jax.lax.psum(o_i * w[..., None], axis_name)
+    w_sum = jax.lax.psum(w, axis_name)
+    o = o_w / jnp.maximum(w_sum, 1e-30)[..., None]
+    lse = lse_max + jnp.log(jnp.maximum(w_sum, 1e-30))
+    return o.astype(q.dtype), lse
+
+
+def ring_decode(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    length,
+    mesh: Mesh,
+    axis_name: str = "sp",
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    block_k: int = 512,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Global-view wrapper over ring_decode_local: q [B,H,d] replicated,
+    k/v [B,Hkv,N,d] sharded on N; `length` is the GLOBAL live context.
+    Each shard derives its local live length from its ring position."""
+    n_shards = mesh.shape[axis_name]
+    n = k.shape[2]
+    if n % n_shards != 0:
+        raise ValueError(f"cache len {n} must divide '{axis_name}' "
+                         f"({n_shards} shards)")
+    local_n = n // n_shards
+
+    def local_fn(q, k, v, length, *maybe_scales):
+        idx = jax.lax.axis_index(axis_name)
+        my_len = jnp.clip(length[0] - idx * local_n, 0, local_n)
+        ks, vs = (maybe_scales if maybe_scales else (None, None))
+        return ring_decode_local(
+            q, k, v, my_len, axis_name=axis_name, k_scale=ks, v_scale=vs,
+            scale=scale, block_k=block_k, interpret=interpret)
+
+    rep = P(None, None, None)
+    kv_spec = P(None, None, axis_name, None)
+    in_specs = [rep, kv_spec, kv_spec, P(None)]
+    args = [q, k, v, jnp.asarray(length, jnp.int32).reshape(1)]
+    if k_scale is not None:
+        in_specs += [P(None, None, axis_name), P(None, None, axis_name)]
+        args += [k_scale, v_scale]
+    f = jax.shard_map(local_fn, mesh=mesh, in_specs=tuple(in_specs),
+                      out_specs=(rep, P(None, None)), check_vma=False)
+    return f(*args)

@@ -1,0 +1,144 @@
+"""Ring attention ladder on the virtual 8-device CPU mesh.
+
+Mirrors the reference's distributed test ladder (SURVEY.md §2.5):
+  00/01 → mesh + ppermute smoke test   (ref: 00_mpi_vecadd, 01_nccl_verify)
+  03    → 1-shard parity vs single-chip (ref: 03_attention_1GPU)
+  04    → N-shard ring vs naive oracle  (ref: 04_ring_attention, rtol 5e-3)
+plus what the reference lacks: causal ring, ring backward, sharded decode.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from cuda_flashattention_tpu.ops.naive import (
+    naive_attention,
+    naive_attention_backward,
+)
+from cuda_flashattention_tpu.ops.quant import quantize_kv
+from cuda_flashattention_tpu.parallel.mesh import sequence_mesh
+from cuda_flashattention_tpu.parallel.ring import (
+    combine_partials,
+    ring_attention,
+    ring_decode,
+)
+from cuda_flashattention_tpu.utils.testing import (
+    assert_close,
+    random_qkv,
+    seeded_random,
+)
+
+N_DEV = len(jax.devices())
+needs_multi = pytest.mark.skipif(N_DEV < 8, reason="needs 8 devices")
+
+
+def test_ppermute_smoke():
+    """Ring topology sanity: rank-tagged data arrives from the previous
+    rank after one hop (ref: 01_nccl_verify.cu:42-59)."""
+    mesh = sequence_mesh()
+    n = mesh.shape["sp"]
+    perm = [(i, (i + 1) % n) for i in range(n)]
+
+    def f(x):
+        return jax.lax.ppermute(x, "sp", perm)
+
+    x = jnp.arange(n, dtype=jnp.float32).reshape(n, 1)
+    y = jax.shard_map(f, mesh=mesh, in_specs=P("sp", None),
+                      out_specs=P("sp", None))(x)
+    expected = np.roll(np.arange(n), 1).reshape(n, 1)
+    assert_close(y, expected, 1e-6, "ppermute ring")
+
+
+def test_combine_partials_exact():
+    """Pairwise logsumexp combination must equal attention over the union
+    of key sets — the invariant ring attention is built on."""
+    q, k, v = random_qkv(1, 1, 16, 64, 8)
+    o1, lse1 = naive_attention(q, k[:, :, :32], v[:, :, :32])
+    o2, lse2 = naive_attention(q, k[:, :, 32:], v[:, :, 32:])
+    o, lse = combine_partials(o1, lse1, o2, lse2)
+    o_ref, lse_ref = naive_attention(q, k, v)
+    assert_close(o, o_ref, 1e-5, "combined O")
+    assert_close(lse, lse_ref, 1e-5, "combined LSE")
+
+
+def _mesh_n(n):
+    from cuda_flashattention_tpu.parallel.mesh import make_mesh
+    return make_mesh((n,), ("sp",))
+
+
+@needs_multi
+@pytest.mark.parametrize("n_shards", [1, 2, 8])
+def test_ring_forward(n_shards):
+    """(ref: 04_ring_attention.cu — shard, ring, gather, compare 5e-3;
+    n_shards=1 is the 03_attention_1GPU single-device parity stage)."""
+    mesh = _mesh_n(n_shards)
+    q, k, v = random_qkv(1, 2, 128, 128, 32)
+    o = ring_attention(q, k, v, mesh)
+    o_ref, _ = naive_attention(q, k, v)
+    assert_close(o, o_ref, 5e-3, f"ring O ({n_shards} shards)")
+
+
+@needs_multi
+@pytest.mark.parametrize("n_shards", [2, 8])
+def test_ring_causal(n_shards):
+    mesh = _mesh_n(n_shards)
+    q, k, v = random_qkv(1, 2, 128, 128, 32)
+    o = ring_attention(q, k, v, mesh, causal=True)
+    o_ref, _ = naive_attention(q, k, v, causal=True)
+    assert_close(o, o_ref, 5e-3, f"causal ring O ({n_shards} shards)")
+
+
+@needs_multi
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_backward(causal):
+    """Distributed gradients vs the single-host oracle — capability the
+    reference lacks entirely (forward-only ring, SURVEY.md §5)."""
+    mesh = _mesh_n(4)
+    q, k, v = random_qkv(1, 1, 64, 64, 16)
+    do = jnp.asarray(seeded_random(q.shape, 55))
+
+    def loss(q, k, v):
+        return jnp.vdot(ring_attention(q, k, v, mesh, causal=causal), do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq_r, dk_r, dv_r = naive_attention_backward(q, k, v, do, causal=causal)
+    assert_close(dq, dq_r, 5e-3, "ring dQ")
+    assert_close(dk, dk_r, 5e-3, "ring dK")
+    assert_close(dv, dv_r, 5e-3, "ring dV")
+
+
+@needs_multi
+def test_ring_seq_not_divisible_raises():
+    mesh = _mesh_n(8)
+    q, k, v = random_qkv(1, 1, 100, 100, 16)
+    with pytest.raises(ValueError, match="must divide"):
+        ring_attention(q, k, v, mesh)
+
+
+@needs_multi
+@pytest.mark.parametrize("global_len", [1, 100, 256])
+def test_ring_decode(global_len):
+    """Sharded-cache decode: partial-LSE psum combine across shards."""
+    mesh = _mesh_n(4)
+    _, k, v = random_qkv(1, 2, 0, 256, 32)
+    q = jnp.asarray(seeded_random((1, 2, 32), 5))
+    o, lse = ring_decode(q, k, v, global_len, mesh)
+    o_ref, lse_ref = naive_attention(
+        q[:, :, None, :], k[:, :, :global_len], v[:, :, :global_len])
+    assert_close(o, o_ref[:, :, 0], 5e-3, "ring decode O")
+    assert_close(lse, lse_ref[:, :, 0], 1e-2, "ring decode LSE")
+
+
+@needs_multi
+def test_ring_decode_quantized():
+    mesh = _mesh_n(4)
+    _, k, v = random_qkv(1, 2, 0, 512, 32)
+    q = jnp.asarray(seeded_random((1, 2, 32), 6))
+    kv = quantize_kv(k, v, "int8")
+    o, _ = ring_decode(q, kv.k_q, kv.v_q, 400, mesh,
+                       k_scale=kv.k_scale, v_scale=kv.v_scale)
+    o_ref, _ = naive_attention(q[:, :, None, :], k[:, :, :400],
+                               v[:, :, :400])
+    assert_close(o, o_ref[:, :, 0], 5e-3, "ring decode int8 O")
