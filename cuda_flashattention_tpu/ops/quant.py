@@ -26,6 +26,7 @@ dequantisation up to MXU rounding; see test_kernel_exact_vs_dequantized).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -87,13 +88,15 @@ class QuantizedKV:
         return cls(*children)
 
 
+@functools.partial(jax.jit, static_argnames=("qtype", "axis"))
 def quantize_tensor(x: jnp.ndarray, qtype: str = "int8",
                     axis: int = -1) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Absmax-quantize along `axis`; returns (values, scale with axis dropped).
 
-    A handful of fused VPU ops under jit — no standalone kernel needed;
-    the performance-critical direction (dequant) lives inside the
-    attention kernels.
+    A handful of fused VPU ops under jit (jitted here so the fp32
+    intermediates fuse instead of materialising at cache scale) — no
+    standalone kernel needed; the performance-critical direction (dequant)
+    lives inside the attention kernels.
     """
     x = x.astype(jnp.float32)
     qmax = _qmax(qtype)

@@ -201,11 +201,18 @@ def ring_attention(
     causal: bool = False,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    batch_axis: Optional[str] = None,
+    head_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel attention: q/k/v [B,H,N,d] sharded on N over
     `axis_name`. Differentiable (custom ring backward). Counterpart of
     `ring_attention_forward` + the missing distributed backward
     (ref: ring_attention_kernel.cu:143-239).
+
+    Composes with data and tensor parallelism: `batch_axis` shards B and
+    `head_axis` shards H (heads are independent, so the local ring code is
+    unchanged — only the shard_map specs widen). Ring traffic stays on
+    `axis_name`; lay the mesh out so that axis rides ICI.
 
     Sequence length must divide the axis size (the reference asserts the
     same, ref: 04_ring_attention.cu:56-63; padding support is planned at
@@ -223,7 +230,7 @@ def ring_attention(
 
     ring_local = _make_ring_local(axis_name, n_shards, scale, causal,
                                   block_sizes, interpret)
-    spec = P(None, None, axis_name, None)
+    spec = P(batch_axis, head_axis, axis_name, None)
     f = jax.shard_map(ring_local, mesh=mesh, in_specs=(spec, spec, spec),
                       out_specs=spec, check_vma=False)
     return f(q, k, v)

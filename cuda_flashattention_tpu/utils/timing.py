@@ -1,0 +1,103 @@
+"""Timing / throughput instrumentation.
+
+TPU-native counterpart of the reference's cudaEvent + chrono timers and
+GPU-utilization poller (ref: 00_mpi_vecadd.cu:89-98, 02_overlap.cu:61,
+94-101, scripts/monitor_gpu.py:1-37): `block_until_ready`-bracketed wall
+timing with warmup (compile) exclusion, TFLOP/s helpers, and device
+memory stats.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Peak dense bf16 matmul throughput per chip, TFLOP/s (public specs).
+PEAK_TFLOPS = {
+    "TPU v4": 275.0,
+    "TPU v5 lite": 197.0,   # v5e
+    "TPU v5": 459.0,        # v5p
+    "TPU v6 lite": 918.0,   # v6e (Trillium)
+    "TPU v6e": 918.0,
+}
+# Peak HBM bandwidth per chip, GB/s.
+PEAK_HBM_GBPS = {
+    "TPU v4": 1228.0,
+    "TPU v5 lite": 819.0,
+    "TPU v5": 2765.0,
+    "TPU v6 lite": 1640.0,
+    "TPU v6e": 1640.0,
+}
+
+
+def device_peaks(device=None) -> Dict[str, float]:
+    dev = device or jax.devices()[0]
+    kind = getattr(dev, "device_kind", "")
+    return {
+        "device_kind": kind,
+        "peak_tflops": PEAK_TFLOPS.get(kind, float("nan")),
+        "peak_hbm_gbps": PEAK_HBM_GBPS.get(kind, float("nan")),
+    }
+
+
+def time_fn(fn: Callable, *args, iters: int = 20, warmup: int = 3,
+            **kwargs) -> float:
+    """Median wall seconds per call, excluding compile (warmup) time.
+
+    NOTE: on remote-relayed backends (axon tunnel) `block_until_ready`
+    can return before execution completes; prefer `time_chained` with a
+    host readback for kernel benchmarking."""
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args, **kwargs))
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args, **kwargs))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def time_chained(step_fn: Callable, x0, iters: int = 20,
+                 warmup: int = 2) -> float:
+    """Seconds per call for `x -> step_fn(x)`, measured by CHAINING calls
+    (each feeds the next, so the device cannot overlap or elide them) and
+    forcing completion with a scalar host readback.
+
+    This is the reliable pattern here: the axon-tunnelled TPU backend
+    acks dispatches before execution finishes, so per-call
+    `block_until_ready` timing reads absurdly high; chaining + readback
+    measures true device throughput (fixed relay latency ~tens of ms is
+    amortised across iters)."""
+    reduce_fn = jax.jit(lambda t: jax.tree_util.tree_reduce(
+        lambda a, x: a + jnp.sum(jnp.abs(x).astype(jnp.float32)),
+        t, jnp.float32(0)))
+    x = x0
+    for _ in range(warmup):
+        x = step_fn(x)
+    float(reduce_fn(x))  # warm the reducer + sync
+    x = x0
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = step_fn(x)
+    float(reduce_fn(x))
+    return (time.perf_counter() - t0) / iters
+
+
+def attention_flops(b: int, h: int, nq: int, nk: int, d: int,
+                    causal: bool = False, backward: bool = False) -> float:
+    """Matmul FLOPs of one attention call: 2 matmuls fwd (QKᵀ, PV),
+    5 bwd (recompute S, dP, dV, dK, dQ), 2·n·d MACs each."""
+    pairs = b * h * nq * nk * (0.5 if causal else 1.0)
+    n_matmuls = 5 if backward else 2
+    return 2.0 * pairs * d * n_matmuls
+
+
+def memory_stats(device=None) -> Dict[str, int]:
+    dev = device or jax.devices()[0]
+    stats = dev.memory_stats() or {}
+    return {k: v for k, v in stats.items()
+            if "bytes" in k or "limit" in k}
