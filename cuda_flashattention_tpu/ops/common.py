@@ -49,16 +49,21 @@ class BlockSizes:
 
     The reference fixes these as C++ template parameters <Br, Bc, d_max,
     num_warps> (ref: 02_fwd/kernel.cu:311-315); here they are runtime
-    arguments resolved per-shape, optionally by the autotuner
+    arguments resolved per-shape by `auto_block_sizes` (VMEM-budget
+    heuristic, tuned on v5e) or the measuring autotuner
     (utils/autotune.py), and must honour TPU tiling: multiples of 8
     sublanes / 128 lanes, and a VMEM budget instead of SRAM.
+
+    Defaults are the measured best for d=128 bf16 on TPU v5e
+    (fwd 27→110 TFLOP/s, bwd 21→105 in the block sweep): large KV blocks
+    amortise the per-step softmax bookkeeping and the K/V restream.
     """
 
-    block_q: int = 256
-    block_k: int = 256
+    block_q: int = 512
+    block_k: int = 2048
     # backward tiles (kv-parallel kernel loops over q; q-parallel over kv)
-    block_q_bwd: int = 128
-    block_k_bwd: int = 128
+    block_q_bwd: int = 512
+    block_k_bwd: int = 1024
 
     def clamp(self, nq: int, nk: int) -> "BlockSizes":
         """Shrink blocks to the problem size (keeps tiny ladder tests legal)."""
@@ -70,6 +75,28 @@ class BlockSizes:
             block_q_bwd=fit(self.block_q_bwd, nq),
             block_k_bwd=fit(self.block_k_bwd, nk),
         )
+
+
+def auto_block_sizes(nq: int, nk: int, d: int, causal: bool = False,
+                     vmem_budget: int = 10 * 2**20) -> BlockSizes:
+    """VMEM-budget block-size heuristic (the reference's own future-work
+    item "Auto-tune Br, Bc", ref: __info__/IMPLEMENTATION_SUMMARY.md:256).
+
+    The dominant VMEM consumers at block (Bq, Bk): the fp32 S and P tiles
+    (Bq·Bk·(4+4)B), the streamed K/V blocks (2·2·Bk·d·2B double-buffered),
+    and — under causal — two int32 iota tiles in the masked path. Shrink
+    Bk first (it amortises less than it costs once S dominates)."""
+    bq, bk = 512, 2048
+    while True:
+        s_bytes = bq * bk * (8 + (8 if causal else 0))
+        kv_bytes = 2 * 2 * bk * d * 2
+        fixed = bq * d * 6 + 2 * bq * 128 * 4
+        if s_bytes + kv_bytes + fixed <= vmem_budget or bk <= 512:
+            break
+        bk //= 2
+    return BlockSizes(block_q=bq, block_k=bk,
+                      block_q_bwd=512, block_k_bwd=1024 if d >= 128
+                      else 2048).clamp(nq, nk)
 
 
 def pad_to_block(x: jnp.ndarray, axis: int, block: int,

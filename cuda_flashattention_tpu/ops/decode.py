@@ -122,7 +122,7 @@ def decode_attention(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_k: int = 512,
+    block_k: int = 2048,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decode step: q [B,H,d] attends to cache k/v [B,Hkv,max_N,d].

@@ -35,6 +35,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_flashattention_tpu.ops.common import (
+    auto_block_sizes,
     NEG_INF,
     BlockSizes,
     default_interpret,
@@ -222,7 +223,8 @@ def flash_attention_backward(
     scale = resolve_scale(scale, d)
     interpret = default_interpret() if interpret is None else interpret
 
-    bs = (block_sizes or BlockSizes()).clamp(nq, nk)
+    bs = (block_sizes.clamp(nq, nk) if block_sizes is not None
+          else auto_block_sizes(nq, nk, d, causal=causal))
     block_q, block_k = bs.block_q_bwd, bs.block_k_bwd
 
     # D = rowsum(dO ⊙ O): one fused XLA op (ref kernel prologue :94-120).

@@ -40,6 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_flashattention_tpu.ops.common import (
+    auto_block_sizes,
     NEG_INF,
     BlockSizes,
     cdiv,
@@ -51,7 +52,6 @@ from cuda_flashattention_tpu.ops.common import (
 
 def _fwd_kernel(
     *refs,  # inputs, outputs, scratch — see unpacking below
-    scale: float,
     causal: bool,
     kv_offset: int,
     nq_valid: int,
@@ -92,7 +92,7 @@ def _fwd_kernel(
 
     @pl.when(block_visible)
     def _compute():
-        q = q_ref[0, 0]  # (Bq, d)
+        q = q_ref[0, 0]  # (Bq, d) — PRESCALED by `scale` on the host
         cd = q.dtype     # MXU compute dtype; int8/fp8 casts to it are exact
         k = k_ref[0, 0]
         v = v_ref[0, 0]
@@ -101,50 +101,83 @@ def _fwd_kernel(
             v = v.astype(cd)
 
         # S = Q·Kᵀ on the MXU with fp32 accumulation
-        # (ref: process_kv_block attention_helper.h:62-76).
+        # (ref: process_kv_block attention_helper.h:62-76). The softmax
+        # scale is folded into Q host-side: one (N,d) multiply instead of
+        # an (N,N) one here — the VPU, not the MXU, is the scarce resource
+        # in this kernel.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (Bq, Bk)
+        )  # (Bq, Bk)
         if quantized:
             s = s * k_scale_ref[0, 0]  # (1, Bk) per-token dequant, folded
 
-        # Padding mask for the KV tail (reference asserts divisibility
-        # instead, ref: 04_ring_attention.cu:56-63).
-        if nk_valid % block_k != 0:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col + ik * block_k < nk_valid, s, NEG_INF)
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            ok = col + ik * block_k <= row + iq * block_q + kv_offset
-            s = jnp.where(ok, s, NEG_INF)
+        def update(s, guarded: bool):
+            """Online softmax update (ref: kernel.cu:190-223)."""
+            m_prev = m_scratch[:, :1]                    # (Bq, 1)
+            m_curr = jnp.max(s, axis=-1, keepdims=True)  # (Bq, 1)
+            m_next = jnp.maximum(m_prev, m_curr)
+            p = jnp.exp(s - m_next)                      # (Bq, Bk)
+            if guarded:
+                # Fully-masked rows have m_next == NEG_INF, making
+                # exp(s−m) = exp(0) = 1 for their masked entries; force
+                # those to 0 so l stays 0 and the epilogue emits O=0 /
+                # LSE=−inf. Only masked blocks can contain such rows, so
+                # the fast path skips this select.
+                p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+            # Single-pass rescale of the running sum and accumulator by
+            # exp(m_prev − m_next) (ref: kernel.cu:237-242; carrying m and
+            # l separately avoids the (x/y)(y/z) fp-error trap, memo.md:5).
+            alpha = jnp.exp(m_prev - m_next)             # (Bq, 1)
+            l_next = (l_scratch[:, :1] * alpha
+                      + jnp.sum(p, axis=-1, keepdims=True))
+            m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
+            l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
+            # P·V accumulate (ref: kernel.cu:244-260). P is cast to the
+            # input dtype so the MXU runs at full rate; acc stays fp32.
+            if quantized:
+                p = p * v_scale_ref[0, 0]  # per-token dequant, folded
+            pv = jax.lax.dot_general(
+                p.astype(cd), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            acc_scratch[...] = acc_scratch[...] * alpha + pv
 
-        # Online softmax update (ref: kernel.cu:190-223).
-        m_prev = m_scratch[:, :1]                       # (Bq, 1)
-        m_curr = jnp.max(s, axis=-1, keepdims=True)     # (Bq, 1)
-        m_next = jnp.maximum(m_prev, m_curr)
-        p = jnp.exp(s - m_next)                         # (Bq, Bk)
-        # Fully-masked rows have m_next == NEG_INF, making exp(s−m)=exp(0)=1
-        # for their masked entries; force those to 0 so l stays 0 and the
-        # epilogue emits O=0 / LSE=−inf.
-        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
-        # Single-pass rescale of the running sum and accumulator by
-        # exp(m_prev − m_next) (ref: kernel.cu:237-242; carrying m and l
-        # separately avoids the (x/y)(y/z) fp-error trap, ref: memo.md:5).
-        alpha = jnp.exp(m_prev - m_next)                # (Bq, 1)
-        l_next = l_scratch[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
-        # P·V accumulate (ref: kernel.cu:244-260). P is cast to the input
-        # dtype so the MXU runs at full rate; the accumulator stays fp32.
-        if quantized:
-            p = p * v_scale_ref[0, 0]  # (1, Bk) per-token dequant, folded
-        pv = jax.lax.dot_general(
-            p.astype(cd), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        acc_scratch[...] = acc_scratch[...] * alpha + pv
+        def masked_update(s):
+            # Padding mask for the KV tail (reference asserts divisibility
+            # instead, ref: 04_ring_attention.cu:56-63).
+            if nk_valid % block_k != 0:
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                s = jnp.where(col + ik * block_k < nk_valid, s, NEG_INF)
+            if causal:
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                ok = col + ik * block_k <= row + iq * block_q + kv_offset
+                s = jnp.where(ok, s, NEG_INF)
+            update(s, guarded=True)
+
+        # Per-element masks cost real VPU time; restrict them to the
+        # blocks that need them — the causal-diagonal straddlers and the
+        # ragged last KV block. Interior blocks take the mask-free path.
+        needs_mask = None
+        if causal:
+            straddle = (ik * block_k + (block_k - 1)
+                        > iq * block_q + kv_offset)
+            needs_mask = straddle
+        if nk_valid % block_k != 0:
+            tail = ik == nk_blocks - 1
+            needs_mask = tail if needs_mask is None else (needs_mask | tail)
+
+        if needs_mask is None:
+            update(s, guarded=False)
+        else:
+            @pl.when(needs_mask)
+            def _slow():
+                masked_update(s)
+
+            @pl.when(jnp.logical_not(needs_mask))
+            def _fast():
+                update(s, guarded=False)
 
     @pl.when(ik == nk_blocks - 1)
     def _epilogue():
@@ -205,10 +238,12 @@ def flash_attention_forward(
     if quantized and v_scale is None:
         raise ValueError("k_scale given without v_scale")
 
-    bs = (block_sizes or BlockSizes()).clamp(nq, nk)
+    bs = (block_sizes.clamp(nq, nk) if block_sizes is not None
+          else auto_block_sizes(nq, nk, d, causal=causal))
     block_q, block_k = bs.block_q, bs.block_k
 
-    q_p = pad_to_block(q, 2, block_q)
+    # softmax scale folded into Q (see kernel note); one fused (N,d) mul
+    q_p = pad_to_block((q * scale).astype(q.dtype), 2, block_q)
     k_p = pad_to_block(k, 2, block_k)
     v_p = pad_to_block(v, 2, block_k)
     nq_p, nk_p = q_p.shape[2], k_p.shape[2]
@@ -216,7 +251,6 @@ def flash_attention_forward(
 
     kernel = functools.partial(
         _fwd_kernel,
-        scale=scale,
         causal=causal,
         kv_offset=kv_offset,
         nq_valid=nq,

@@ -105,7 +105,7 @@ def decode_step(
     q: jnp.ndarray,
     cache: KVCache,
     scale: Optional[float] = None,
-    block_k: int = 512,
+    block_k: int = 2048,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Attend one new query token q [B,H,d] against the live cache.
