@@ -25,6 +25,7 @@ Layer map (mirrors SURVEY.md §1, re-designed TPU-first):
 __version__ = "0.1.0"
 
 from cuda_flashattention_tpu.ops.attention import flash_attention, mha
+from cuda_flashattention_tpu.ops.fa1 import fa1_attention
 from cuda_flashattention_tpu.ops.decode import decode_attention
 from cuda_flashattention_tpu.ops.kv_cache import (
     KVCache,
@@ -45,6 +46,7 @@ from cuda_flashattention_tpu.ops.quant import (
 __all__ = [
     "flash_attention",
     "mha",
+    "fa1_attention",
     "decode_attention",
     "KVCache",
     "append",

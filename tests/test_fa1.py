@@ -1,0 +1,145 @@
+"""FA1 ladder tests — mirrors the reference's FA1 test suite.
+
+The reference runs 8 hand-built cases through FA1 and compares against the
+naive oracle at 1e-3 (ref: src/01_flash_attention_v1/main.cu:195-347, gate
+at :162): 2x4 simple, identity 4x4, uniform, orthogonal, 1x1, diag 8x4,
+random 64x32 (srand 42), and the same 4x4 swept over Bc in {1,2,4}
+(:342-344). We keep every case (TPU min tile is 8, so the Bc sweep becomes
+a block_k in {8,16,32} sweep plus non-divisible N to exercise masking).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from cuda_flashattention_tpu.ops.fa1 import fa1_attention
+from cuda_flashattention_tpu.ops.naive import naive_attention
+from cuda_flashattention_tpu.utils.testing import (
+    assert_close,
+    identity_qk_fixture,
+    seeded_random,
+)
+
+TOL = 1e-3  # ref: 01/main.cu:162
+
+
+def run_case(q, k, v, scale=1.0, tol=TOL, **kw):
+    q4 = jnp.asarray(q)[None, None]
+    k4 = jnp.asarray(k)[None, None]
+    v4 = jnp.asarray(v)[None, None]
+    o = fa1_attention(q4, k4, v4, scale=scale, **kw)
+    ref, _ = naive_attention(q4, k4, v4, scale=scale)
+    assert_close(o, ref, tol, name="fa1")
+
+
+def test_simple_2x4():
+    # ref: 01/main.cu:196-214 (2 queries, d=4)
+    q = np.array([[1, 0, 0, 0], [0, 1, 0, 0]], np.float32)
+    k = np.array([[1, 0, 0, 0], [0, 1, 0, 0]], np.float32)
+    v = np.array([[1, 2, 3, 4], [5, 6, 7, 8]], np.float32)
+    run_case(q, k, v)
+
+
+def test_identity_4x4():
+    # ref: 01/main.cu identity Q=K case
+    q, k, v = identity_qk_fixture(4, 4)
+    run_case(q, k, v)
+
+
+def test_uniform():
+    # all-equal scores: softmax must come out exactly uniform
+    q = np.ones((4, 4), np.float32)
+    k = np.ones((4, 4), np.float32)
+    v = np.arange(16, dtype=np.float32).reshape(4, 4)
+    o = fa1_attention(jnp.asarray(q)[None, None], jnp.asarray(k)[None, None],
+                      jnp.asarray(v)[None, None], scale=1.0)
+    expected = np.tile(v.mean(axis=0), (4, 1))
+    assert_close(o[0, 0], expected, TOL, name="uniform")
+
+
+def test_orthogonal_rows():
+    # orthogonal Q rows vs K: every score 0 except the matching row
+    q = np.eye(4, dtype=np.float32) * 3.0
+    k = np.eye(4, dtype=np.float32) * 3.0
+    v = seeded_random((4, 4), seed=7)
+    run_case(q, k, v)
+
+
+def test_1x1():
+    # ref: 01/main.cu 1x1 edge case — softmax of a single score is 1
+    q = np.array([[2.0]], np.float32)
+    k = np.array([[3.0]], np.float32)
+    v = np.array([[5.0]], np.float32)
+    o = fa1_attention(jnp.asarray(q)[None, None], jnp.asarray(k)[None, None],
+                      jnp.asarray(v)[None, None], scale=1.0)
+    assert_close(o[0, 0], v, TOL, name="1x1")
+
+
+def test_diag_8x4():
+    # ref: 01/main.cu diag 8x4 case
+    q = np.zeros((8, 4), np.float32)
+    for i in range(8):
+        q[i, i % 4] = float(i + 1)
+    k = q.copy()
+    v = seeded_random((8, 4), seed=3)
+    run_case(q, k, v)
+
+
+def test_random_64x32():
+    # ref: 01/main.cu:304-315 (srand(42), 64x32)
+    q = seeded_random((64, 32), seed=42)
+    k = seeded_random((64, 32), seed=43)
+    v = seeded_random((64, 32), seed=44)
+    run_case(q, k, v, scale=1.0 / np.sqrt(32))
+
+
+@pytest.mark.parametrize("block_k", [8, 16, 32])
+def test_block_sweep(block_k):
+    # ref: 01/main.cu:342-344 sweeps Bc in {1,2,4} on the same case to
+    # shake tiling bugs; TPU min tile is 8 so we sweep {8,16,32} at a
+    # non-divisible N=24 to exercise the ragged-tail mask too.
+    q = seeded_random((24, 16), seed=11)
+    k = seeded_random((24, 16), seed=12)
+    v = seeded_random((24, 16), seed=13)
+    run_case(q, k, v, scale=0.25, block_k=block_k, block_q=8)
+
+
+def test_non_divisible_n3():
+    # ref runs N=3 with Bc=2; masking instead of guards here
+    q = seeded_random((3, 16), seed=21)
+    k = seeded_random((3, 16), seed=22)
+    v = seeded_random((3, 16), seed=23)
+    run_case(q, k, v, scale=0.25, block_k=8, block_q=8)
+
+
+def test_causal_matches_naive():
+    # capability the reference lacks (SURVEY.md §2.3: no masking anywhere)
+    q = seeded_random((32, 16), seed=31)
+    k = seeded_random((32, 16), seed=32)
+    v = seeded_random((32, 16), seed=33)
+    q4, k4, v4 = (jnp.asarray(x)[None, None] for x in (q, k, v))
+    o = fa1_attention(q4, k4, v4, causal=True, block_q=8, block_k=8)
+    ref, _ = naive_attention(q4, k4, v4, causal=True)
+    assert_close(o, ref, TOL, name="fa1-causal")
+
+
+def test_batched_heads():
+    # FA1 extended to [B,H,N,d] (the reference is single-head [N,d])
+    q = seeded_random((2, 3, 16, 8), seed=41)
+    k = seeded_random((2, 3, 16, 8), seed=42)
+    v = seeded_random((2, 3, 16, 8), seed=43)
+    o = fa1_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    ref, _ = naive_attention(q, k, v)
+    assert_close(o, ref, TOL, name="fa1-batched")
+
+
+def test_fa1_agrees_with_fa2():
+    # ladder cross-check: both rungs vs each other at realistic size
+    from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+    q = seeded_random((1, 2, 128, 64), seed=51)
+    k = seeded_random((1, 2, 128, 64), seed=52)
+    v = seeded_random((1, 2, 128, 64), seed=53)
+    q, k, v = (jnp.asarray(x) for x in (q, k, v))
+    o1 = fa1_attention(q, k, v)
+    o2, _ = flash_attention_forward(q, k, v)
+    assert_close(o1, o2, TOL, name="fa1-vs-fa2")
