@@ -1,0 +1,188 @@
+"""Measuring block-size autotuner for the attention kernels.
+
+The reference fixes tile sizes as C++ template parameters and lists
+"Auto-tune Br, Bc based on problem size" as future work
+(ref: src/02_flash_attention_v2_backward/__info__/IMPLEMENTATION_SUMMARY.md:256,
+template params at 02_fwd/flash_attention_kernel.cu:311-315). This module
+delivers that item TPU-natively:
+
+  * candidates are generated from the VMEM budget model in
+    `ops.common.auto_block_sizes` (the static heuristic stays the zero-cost
+    default; this tuner is the measured upgrade),
+  * each candidate is timed on the live device with chained dispatch
+    (utils.timing.time_chained — safe against async dispatch), and
+  * results are cached per (device_kind, shape, dtype, causal, mode), both
+    in-process and in an on-disk JSON so repeat runs pay nothing.
+
+Usage:
+    bs = autotune_block_sizes(nq=16384, nk=16384, d=128)
+    o, lse = flash_attention_forward(q, k, v, block_sizes=bs)
+
+or from the shell:
+    python -m cuda_flashattention_tpu.utils.autotune --seq 16384 --d 128
+"""
+
+from __future__ import annotations
+
+import itertools
+import json
+import os
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from cuda_flashattention_tpu.ops.common import (
+    BlockSizes,
+    round_up,
+)
+from cuda_flashattention_tpu.utils.timing import time_chained
+
+_CACHE_PATH = os.environ.get(
+    "CFA_AUTOTUNE_CACHE",
+    os.path.join(os.path.expanduser("~"), ".cache", "cfa_tpu",
+                 "autotune.json"))
+_MEM_CACHE: dict = {}
+
+
+def _disk_cache_load() -> dict:
+    try:
+        with open(_CACHE_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _disk_cache_store(cache: dict) -> None:
+    try:
+        os.makedirs(os.path.dirname(_CACHE_PATH), exist_ok=True)
+        with open(_CACHE_PATH, "w") as f:
+            json.dump(cache, f, indent=1, sort_keys=True)
+    except OSError:
+        pass  # caching is best-effort
+
+
+def candidate_blocks(
+    nq: int, nk: int, d: int, causal: bool = False,
+    vmem_budget: int = 64 * 2**20,
+) -> List[Tuple[int, int]]:
+    """Enumerate (block_q, block_k) pairs that respect the VMEM model
+    (same cost terms as ops.common.auto_block_sizes) and TPU tiling."""
+    qs = [128, 256, 512, 1024]
+    ks = [256, 512, 1024, 2048, 4096]
+    out = []
+    for bq, bk in itertools.product(qs, ks):
+        if bq > round_up(nq, 8) or bk > round_up(nk, 8):
+            continue
+        s_bytes = bq * bk * (8 + (8 if causal else 0))
+        kv_bytes = 2 * 2 * bk * d * 2
+        fixed = bq * d * 6 + 2 * bq * 128 * 4
+        if s_bytes + kv_bytes + fixed <= vmem_budget:
+            out.append((bq, bk))
+    return out or [(min(512, round_up(nq, 8)), min(512, round_up(nk, 8)))]
+
+
+def _bench_fwd(bs: BlockSizes, q, k, v, causal: bool, iters: int) -> float:
+    from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+
+    def step(x):
+        return flash_attention_forward(x, k, v, causal=causal,
+                                       block_sizes=bs)[0]
+    return time_chained(step, q, iters=iters, warmup=1)
+
+
+def _bench_bwd(bs: BlockSizes, q, k, v, causal: bool, iters: int) -> float:
+    from cuda_flashattention_tpu.ops.flash_bwd import (
+        flash_attention_backward)
+    from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+    o, lse = flash_attention_forward(q, k, v, causal=causal)
+
+    def step(x):
+        dq, _, _ = flash_attention_backward(q, k, v, o, lse, x,
+                                            causal=causal, block_sizes=bs)
+        return dq
+    return time_chained(step, o, iters=iters, warmup=1)
+
+
+def autotune_block_sizes(
+    nq: int,
+    nk: int,
+    d: int,
+    batch: int = 1,
+    heads: int = 1,
+    dtype=jnp.bfloat16,
+    causal: bool = False,
+    mode: str = "fwd",
+    iters: int = 5,
+    candidates: Optional[List[Tuple[int, int]]] = None,
+    verbose: bool = False,
+) -> BlockSizes:
+    """Measure candidate tile sizes on the live device; return the best.
+
+    `mode` is "fwd" or "bwd" (tunes block_q/block_k or the *_bwd pair).
+    Results are cached on disk keyed by device kind + problem shape.
+    """
+    dev = jax.devices()[0]
+    key = json.dumps([dev.device_kind, jax.default_backend(), batch, heads,
+                      nq, nk, d, str(jnp.dtype(dtype)), causal, mode])
+    if key in _MEM_CACHE:
+        return _MEM_CACHE[key]
+    disk = _disk_cache_load()
+    if key in disk:
+        bs = BlockSizes(**disk[key])
+        _MEM_CACHE[key] = bs
+        return bs
+
+    cands = candidates or candidate_blocks(nq, nk, d, causal=causal)
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.uniform(keys[0], (batch, heads, nq, d), dtype, -0.5, 0.5)
+    k = jax.random.uniform(keys[1], (batch, heads, nk, d), dtype, -0.5, 0.5)
+    v = jax.random.uniform(keys[2], (batch, heads, nk, d), dtype, -0.5, 0.5)
+
+    best_bs, best_t = None, float("inf")
+    base = BlockSizes()
+    for bq, bk in cands:
+        if mode == "bwd":
+            bs = BlockSizes(block_q=base.block_q, block_k=base.block_k,
+                            block_q_bwd=bq, block_k_bwd=bk).clamp(nq, nk)
+            t = _bench_bwd(bs, q, k, v, causal, iters)
+        else:
+            bs = BlockSizes(block_q=bq, block_k=bk,
+                            block_q_bwd=base.block_q_bwd,
+                            block_k_bwd=base.block_k_bwd).clamp(nq, nk)
+            t = _bench_fwd(bs, q, k, v, causal, iters)
+        if verbose:
+            print(f"  ({bq:5d},{bk:5d}) -> {t*1e3:8.3f} ms")
+        if t < best_t:
+            best_bs, best_t = bs, t
+
+    disk[key] = {
+        "block_q": best_bs.block_q, "block_k": best_bs.block_k,
+        "block_q_bwd": best_bs.block_q_bwd,
+        "block_k_bwd": best_bs.block_k_bwd,
+    }
+    _disk_cache_store(disk)
+    _MEM_CACHE[key] = best_bs
+    return best_bs
+
+
+def main() -> None:
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--seq", type=int, default=16384)
+    ap.add_argument("--d", type=int, default=128)
+    ap.add_argument("--heads", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--causal", action="store_true")
+    ap.add_argument("--mode", choices=["fwd", "bwd"], default="fwd")
+    ap.add_argument("--iters", type=int, default=5)
+    opts = ap.parse_args()
+    bs = autotune_block_sizes(
+        nq=opts.seq, nk=opts.seq, d=opts.d, batch=opts.batch,
+        heads=opts.heads, causal=opts.causal, mode=opts.mode,
+        iters=opts.iters, verbose=True)
+    print(f"best: {bs}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,59 @@
+"""Autotuner tests (the reference's future-work item delivered:
+ref: __info__/IMPLEMENTATION_SUMMARY.md:256 "Auto-tune Br, Bc")."""
+
+import os
+
+import jax.numpy as jnp
+import pytest
+
+from cuda_flashattention_tpu.ops.common import BlockSizes, auto_block_sizes
+from cuda_flashattention_tpu.utils import autotune
+
+
+def test_candidates_respect_vmem_budget():
+    cands = autotune.candidate_blocks(16384, 16384, 128, causal=True)
+    assert cands, "no candidates generated"
+    for bq, bk in cands:
+        s = bq * bk * 16
+        kv = 4 * bk * 128 * 2
+        assert s + kv <= 64 * 2**20
+
+
+def test_candidates_shrink_to_problem():
+    cands = autotune.candidate_blocks(64, 64, 64)
+    assert all(bq <= 64 and bk <= 64 for bq, bk in cands)
+
+
+def test_static_heuristic_consistency():
+    bs = auto_block_sizes(16384, 16384, 128)
+    assert bs.block_q % 8 == 0 and bs.block_k % 8 == 0
+    small = auto_block_sizes(16, 16, 64)
+    assert small.block_q <= 16
+
+
+def test_autotune_measures_and_caches(tmp_path, monkeypatch):
+    monkeypatch.setattr(autotune, "_CACHE_PATH",
+                        os.path.join(tmp_path, "cache.json"))
+    autotune._MEM_CACHE.clear()
+    bs = autotune.autotune_block_sizes(
+        nq=128, nk=128, d=64, dtype=jnp.float32, iters=1,
+        candidates=[(128, 128), (128, 256)])
+    assert isinstance(bs, BlockSizes)
+    assert os.path.exists(autotune._CACHE_PATH)
+    # second call must hit the cache (no bench): poison time_chained
+    monkeypatch.setattr(autotune, "time_chained",
+                        lambda *a, **k: pytest.fail("cache miss"))
+    bs2 = autotune.autotune_block_sizes(
+        nq=128, nk=128, d=64, dtype=jnp.float32, iters=1,
+        candidates=[(128, 128), (128, 256)])
+    assert bs2 == bs
+
+
+def test_autotune_bwd_mode(tmp_path, monkeypatch):
+    monkeypatch.setattr(autotune, "_CACHE_PATH",
+                        os.path.join(tmp_path, "cache.json"))
+    autotune._MEM_CACHE.clear()
+    bs = autotune.autotune_block_sizes(
+        nq=128, nk=128, d=64, dtype=jnp.float32, iters=1, mode="bwd",
+        candidates=[(128, 128)])
+    assert bs.block_q_bwd == 128 and bs.block_k_bwd == 128

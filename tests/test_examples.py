@@ -1,0 +1,46 @@
+"""Ladder regression tests — run each example as a subprocess and require
+its PASS line, mirroring the reference's string-match CI
+(ref: scripts/test_examples.sh:36-46). Also exercises the multi-process
+launcher (the mpirun equivalent) end to end.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+STAGES = [
+    "examples/00_psum_vecadd.py",
+    "examples/01_ppermute_verify.py",
+    "examples/02_overlap.py",
+    "examples/03_attention_1chip.py",
+    "examples/04_ring_attention.py",
+]
+
+
+def run(cmd, timeout=560):
+    env = dict(os.environ)
+    # examples manage their own backend; drop pytest's CPU forcing so the
+    # subprocess starts from a clean slate
+    return subprocess.run(
+        cmd, cwd=REPO, env=env, capture_output=True, text=True,
+        timeout=timeout)
+
+
+@pytest.mark.parametrize("stage", STAGES, ids=[s.split("/")[1] for s in STAGES])
+def test_ladder_stage(stage):
+    r = run([sys.executable, stage])
+    assert r.returncode == 0, f"{stage} rc={r.returncode}\n{r.stdout}\n{r.stderr}"
+    assert "Test PASSED!" in r.stdout, r.stdout
+
+
+def test_multiprocess_launcher():
+    # 2 real processes x 2 virtual devices — the mpirun-equivalent path
+    r = run([sys.executable, "scripts/launch_multihost.py", "-np", "2",
+             "--devices-per-proc", "2", "examples/01_ppermute_verify.py"])
+    assert r.returncode == 0, f"rc={r.returncode}\n{r.stdout}\n{r.stderr}"
+    assert "Test PASSED!" in r.stdout, r.stdout
+    assert "ring of 4 devices" in r.stdout, r.stdout
