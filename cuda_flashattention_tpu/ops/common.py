@@ -54,16 +54,20 @@ class BlockSizes:
     (utils/autotune.py), and must honour TPU tiling: multiples of 8
     sublanes / 128 lanes, and a VMEM budget instead of SRAM.
 
-    Defaults are the measured best for d=128 bf16 on TPU v5e
-    (fwd 27→110 TFLOP/s, bwd 21→105 in the block sweep): large KV blocks
-    amortise the per-step softmax bookkeeping and the K/V restream.
+    Defaults are the measured best for d=128 bf16 on TPU v5e with the
+    kernels' 64 MiB scoped-VMEM limit (fwd block sweep: (512,1024) 102 →
+    (1024,2048) 129 → (2048,2048) 130 TFLOP/s, causal 67 → 82 → 88.5):
+    large blocks amortise the per-step softmax bookkeeping and K/V
+    restream.
     """
 
-    block_q: int = 512
+    block_q: int = 2048
     block_k: int = 2048
-    # backward tiles (kv-parallel kernel loops over q; q-parallel over kv)
-    block_q_bwd: int = 512
-    block_k_bwd: int = 1024
+    # backward tiles (kv-parallel kernel loops over q; q-parallel over kv);
+    # measured best on v5e d=128 bf16: (1024,2048) — 114.9 TFLOP/s
+    # non-causal / 88.5 causal vs 110.4/84.6 at the old (512,1024)
+    block_q_bwd: int = 1024
+    block_k_bwd: int = 2048
 
     def clamp(self, nq: int, nk: int) -> "BlockSizes":
         """Shrink blocks to the problem size (keeps tiny ladder tests legal)."""
@@ -78,25 +82,32 @@ class BlockSizes:
 
 
 def auto_block_sizes(nq: int, nk: int, d: int, causal: bool = False,
-                     vmem_budget: int = 10 * 2**20) -> BlockSizes:
+                     vmem_budget: int = 52 * 2**20) -> BlockSizes:
     """VMEM-budget block-size heuristic (the reference's own future-work
     item "Auto-tune Br, Bc", ref: __info__/IMPLEMENTATION_SUMMARY.md:256).
 
     The dominant VMEM consumers at block (Bq, Bk): the fp32 S and P tiles
-    (Bq·Bk·(4+4)B), the streamed K/V blocks (2·2·Bk·d·2B double-buffered),
-    and — under causal — two int32 iota tiles in the masked path. Shrink
-    Bk first (it amortises less than it costs once S dominates)."""
-    bq, bk = 512, 2048
+    (Bq·Bk·(4+4)B, plus a bool mask tile in the masked path), the streamed
+    K/V blocks (2·2·Bk·d·2B double-buffered), and the fp32 accumulators.
+    The budget tracks the kernels' 64 MiB scoped-VMEM limit (minus
+    pipeline headroom), calibrated on v5e: (2048,2048) is the measured
+    best and compiles; (4096,2048)-causal and (2048,4096)-causal overflow.
+    Shrink whichever block is larger first."""
+    bq, bk = 2048, 2048
     while True:
-        s_bytes = bq * bk * (8 + (8 if causal else 0))
+        s_bytes = bq * bk * (8 + (2 if causal else 0))
         kv_bytes = 2 * 2 * bk * d * 2
         fixed = bq * d * 6 + 2 * bq * 128 * 4
-        if s_bytes + kv_bytes + fixed <= vmem_budget or bk <= 512:
+        if s_bytes + kv_bytes + fixed <= vmem_budget:
             break
-        bk //= 2
+        if bk >= bq and bk > 512:
+            bk //= 2
+        elif bq > 512:
+            bq //= 2
+        else:
+            break
     return BlockSizes(block_q=bq, block_k=bk,
-                      block_q_bwd=512, block_k_bwd=1024 if d >= 128
-                      else 2048).clamp(nq, nk)
+                      block_q_bwd=1024, block_k_bwd=2048).clamp(nq, nk)
 
 
 def pad_to_block(x: jnp.ndarray, axis: int, block: int,

@@ -122,7 +122,7 @@ def decode_attention(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_k: int = 2048,
+    block_k: int = 8192,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decode step: q [B,H,d] attends to cache k/v [B,Hkv,max_N,d].
@@ -209,6 +209,9 @@ def decode_attention(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # decode streams big KV blocks; Mosaic's default 16 MiB scoped
+            # VMEM caps block_k at 8k bf16 (docs/MEMO.md)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(lengths, *inputs)

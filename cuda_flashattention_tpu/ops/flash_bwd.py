@@ -44,14 +44,37 @@ from cuda_flashattention_tpu.ops.common import (
 )
 
 
-def _p_from_lse(s: jnp.ndarray, lse_block: jnp.ndarray) -> jnp.ndarray:
+def _mask_scores(s, iq, ik, *, causal, kv_offset, nk_valid, block_q,
+                 block_k):
+    """Padding/causal mask from (Bq,1)x(1,Bk) vector iotas (full-tile
+    int32 iota pairs cost 8 B/elem of VMEM and cap block sizes)."""
+    need_pad = nk_valid % block_k != 0
+    if not (need_pad or causal):
+        return s
+    col = (jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+           + ik * block_k)
+    ok = col < nk_valid if need_pad else jnp.ones_like(col, jnp.bool_)
+    if causal:
+        row = (jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+               + iq * block_q + kv_offset)
+        ok = jnp.logical_and(ok, col <= row)
+    return jnp.where(ok, s, NEG_INF)
+
+
+_LOG2E = 1.4426950408889634
+
+
+def _p_from_lse(s2: jnp.ndarray, lse_block: jnp.ndarray) -> jnp.ndarray:
     """P = exp(S − LSE) with fully-masked / padded rows forced to 0.
 
-    LSE is stored as NEG_INF for rows with no visible keys (and the host
-    pads LSE with NEG_INF), so guard before exponentiating
+    Both operands are converted to LOG2 units so the exponential is the
+    VPU-native exp2 (s2 arrives as S·log2(e); LSE is stored natural).
+    LSE is NEG_INF for rows with no visible keys (and the host pads LSE
+    with NEG_INF), so guard before exponentiating
     (ref analog: P=exp(S−L), backward_kernel.cu:169-174)."""
-    lse_safe = jnp.where(lse_block < NEG_INF * 0.5, jnp.inf, lse_block)
-    return jnp.exp(s - lse_safe)  # lse_block is (Bq, 1); broadcasts over Bk
+    lse_safe = jnp.where(lse_block < NEG_INF * 0.5, jnp.inf,
+                         lse_block * _LOG2E)
+    return jnp.exp2(s2 - lse_safe)  # lse is (Bq, 1); broadcasts over Bk
 
 
 def _bwd_dkdv_kernel(
@@ -93,15 +116,10 @@ def _bwd_dkdv_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale  # (Bq, Bk)
-        if nk_valid % block_k != 0:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col + ikv * block_k < nk_valid, s, NEG_INF)
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            ok = col + ikv * block_k <= row + iq * block_q + kv_offset
-            s = jnp.where(ok, s, NEG_INF)
+        ) * (scale * _LOG2E)  # (Bq, Bk), log2 units
+        s = _mask_scores(s, iq, ikv, causal=causal, kv_offset=kv_offset,
+                         nk_valid=nk_valid, block_q=block_q,
+                         block_k=block_k)
 
         p = _p_from_lse(s, lse)  # (Bq, Bk) fp32
 
@@ -165,15 +183,10 @@ def _bwd_dq_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale
-        if nk_valid % block_k != 0:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col + ik * block_k < nk_valid, s, NEG_INF)
-        if causal:
-            row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            ok = col + ik * block_k <= row + iq * block_q + kv_offset
-            s = jnp.where(ok, s, NEG_INF)
+        ) * (scale * _LOG2E)  # log2 units
+        s = _mask_scores(s, iq, ik, causal=causal, kv_offset=kv_offset,
+                         nk_valid=nk_valid, block_q=block_q,
+                         block_k=block_k)
 
         p = _p_from_lse(s, lse)
         dp = jax.lax.dot_general(
@@ -246,12 +259,31 @@ def flash_attention_backward(
         nq_valid=nq, nk_valid=nk, block_q=block_q, block_k=block_k,
     )
 
+    # Causal block-index clamping (same trick as flash_fwd): steps whose
+    # compute is skipped map to the nearest visible block, so consecutive
+    # tail/prefix steps re-use the resident block instead of fetching.
+    if causal:
+        def q_idx(ikv, iq):
+            # first visible Q block for KV block ikv (invisible prefix)
+            first = jnp.maximum(0, (ikv * block_k - kv_offset) // block_q)
+            return jnp.maximum(iq, first)
+
+        def kv_idx(iq, ik):
+            frontier = ((iq + 1) * block_q - 1 + kv_offset) // block_k
+            return jnp.minimum(ik, frontier)
+    else:
+        def q_idx(ikv, iq):
+            return iq
+
+        def kv_idx(iq, ik):
+            return ik
+
     q_spec = pl.BlockSpec((1, 1, block_q, d),
-                          lambda bb, hh, i, j: (bb, hh, j, 0))
+                          lambda bb, hh, i, j: (bb, hh, q_idx(i, j), 0))
     kv_spec = pl.BlockSpec((1, 1, block_k, d),
                            lambda bb, hh, i, j: (bb, hh, i, 0))
     row_spec = pl.BlockSpec((1, 1, block_q, 1),
-                            lambda bb, hh, i, j: (bb, hh, j, 0))
+                            lambda bb, hh, i, j: (bb, hh, q_idx(i, j), 0))
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
@@ -274,6 +306,7 @@ def flash_attention_backward(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=10 * b * h * nq_p * nk_p * d,
@@ -287,7 +320,7 @@ def flash_attention_backward(
     dq_q_spec = pl.BlockSpec((1, 1, block_q, d),
                              lambda bb, hh, i, j: (bb, hh, i, 0))
     dq_kv_spec = pl.BlockSpec((1, 1, block_k, d),
-                              lambda bb, hh, i, j: (bb, hh, j, 0))
+                              lambda bb, hh, i, j: (bb, hh, kv_idx(i, j), 0))
     dq_row_spec = pl.BlockSpec((1, 1, block_q, 1),
                                lambda bb, hh, i, j: (bb, hh, i, 0))
 
@@ -303,6 +336,7 @@ def flash_attention_backward(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=8 * b * h * nq_p * nk_p * d,

@@ -49,6 +49,9 @@ from cuda_flashattention_tpu.ops.common import (
     resolve_scale,
 )
 
+_LOG2E = 1.4426950408889634  # log2(e): scores are carried in log2 units
+_LN2 = 0.6931471805599453
+
 
 def _fwd_kernel(
     *refs,  # inputs, outputs, scratch — see unpacking below
@@ -113,11 +116,16 @@ def _fwd_kernel(
             s = s * k_scale_ref[0, 0]  # (1, Bk) per-token dequant, folded
 
         def update(s, guarded: bool):
-            """Online softmax update (ref: kernel.cu:190-223)."""
+            """Online softmax update (ref: kernel.cu:190-223).
+
+            Scores arrive in LOG2 units (log2(e) is folded into the host
+            Q prescale along with the softmax scale), so the exponentials
+            are exp2 — the VPU's native transcendental (exp costs an
+            extra multiply per element to get there)."""
             m_prev = m_scratch[:, :1]                    # (Bq, 1)
             m_curr = jnp.max(s, axis=-1, keepdims=True)  # (Bq, 1)
             m_next = jnp.maximum(m_prev, m_curr)
-            p = jnp.exp(s - m_next)                      # (Bq, Bk)
+            p = jnp.exp2(s - m_next)                     # (Bq, Bk)
             if guarded:
                 # Fully-masked rows have m_next == NEG_INF, making
                 # exp(s−m) = exp(0) = 1 for their masked entries; force
@@ -126,9 +134,9 @@ def _fwd_kernel(
                 # the fast path skips this select.
                 p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
             # Single-pass rescale of the running sum and accumulator by
-            # exp(m_prev − m_next) (ref: kernel.cu:237-242; carrying m and
+            # exp2(m_prev − m_next) (ref: kernel.cu:237-242; carrying m and
             # l separately avoids the (x/y)(y/z) fp-error trap, memo.md:5).
-            alpha = jnp.exp(m_prev - m_next)             # (Bq, 1)
+            alpha = jnp.exp2(m_prev - m_next)            # (Bq, 1)
             l_next = (l_scratch[:, :1] * alpha
                       + jnp.sum(p, axis=-1, keepdims=True))
             m_scratch[...] = jnp.broadcast_to(m_next, m_scratch.shape)
@@ -144,16 +152,20 @@ def _fwd_kernel(
             acc_scratch[...] = acc_scratch[...] * alpha + pv
 
         def masked_update(s):
+            # Masks are built from (Bq,1) x (1,Bk) vector iotas — a full
+            # (Bq,Bk) int32 iota pair costs 8 bytes/elem of VMEM and is
+            # what capped causal block sizes (docs/MEMO.md).
+            col = (jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+                   + ik * block_k)
             # Padding mask for the KV tail (reference asserts divisibility
             # instead, ref: 04_ring_attention.cu:56-63).
-            if nk_valid % block_k != 0:
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                s = jnp.where(col + ik * block_k < nk_valid, s, NEG_INF)
+            ok = (col < nk_valid if nk_valid % block_k != 0
+                  else jnp.ones_like(col, jnp.bool_))
             if causal:
-                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                ok = col + ik * block_k <= row + iq * block_q + kv_offset
-                s = jnp.where(ok, s, NEG_INF)
+                row = jax.lax.broadcasted_iota(
+                    jnp.int32, (s.shape[0], 1), 0) + iq * block_q + kv_offset
+                ok = jnp.logical_and(ok, col <= row)
+            s = jnp.where(ok, s, NEG_INF)
             update(s, guarded=True)
 
         # Per-element masks cost real VPU time; restrict them to the
@@ -182,12 +194,14 @@ def _fwd_kernel(
     @pl.when(ik == nk_blocks - 1)
     def _epilogue():
         # O ← O_acc / l and L ← m + log l, written once at the end
-        # (ref: kernel.cu:280-296).
+        # (ref: kernel.cu:280-296). m is in log2 units; LSE is emitted in
+        # natural-log units: ln(Σe^s) = ln2·m₂ + ln(Σ2^(s₂−m₂)).
         l = l_scratch[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
         o_ref[0, 0] = (acc_scratch[...] / l_safe).astype(o_ref.dtype)
         m = m_scratch[:, :1]
-        lse = jnp.where(l == 0.0, NEG_INF, m + jnp.log(l_safe))
+        lse = jnp.where(l == 0.0, NEG_INF,
+                        m * _LN2 + jnp.log(l_safe))
         lse_ref[0, 0] = lse  # (Bq, 1)
 
 
@@ -242,8 +256,9 @@ def flash_attention_forward(
           else auto_block_sizes(nq, nk, d, causal=causal))
     block_q, block_k = bs.block_q, bs.block_k
 
-    # softmax scale folded into Q (see kernel note); one fused (N,d) mul
-    q_p = pad_to_block((q * scale).astype(q.dtype), 2, block_q)
+    # softmax scale AND log2(e) folded into Q (see kernel note): one fused
+    # (N,d) mul buys exp→exp2 in the kernel's hot loop
+    q_p = pad_to_block((q * (scale * _LOG2E)).astype(q.dtype), 2, block_q)
     k_p = pad_to_block(k, 2, block_k)
     v_p = pad_to_block(v, 2, block_k)
     nq_p, nk_p = q_p.shape[2], k_p.shape[2]
@@ -260,6 +275,19 @@ def flash_attention_forward(
         quantized=quantized,
     )
 
+    # Under causal masking, KV blocks beyond the diagonal contribute
+    # nothing; clamping their block index to the causal frontier makes
+    # consecutive tail steps map to the SAME block, and the Pallas
+    # pipeline skips the redundant HBM→VMEM fetches (the compute for
+    # those steps is already skipped by @pl.when(block_visible)).
+    if causal:
+        def kv_block_idx(iq, ik):
+            frontier = ((iq + 1) * block_q - 1 + kv_offset) // block_k
+            return jnp.minimum(ik, frontier)
+    else:
+        def kv_block_idx(iq, ik):
+            return ik
+
     inputs = [q_p, k_p, v_p]
     scale_specs = []
     if quantized:
@@ -273,7 +301,8 @@ def flash_attention_forward(
             inputs.append(sc)
             scale_specs.append(pl.BlockSpec(
                 (1, 1, 1, block_k),
-                lambda bb, hh, iq, ik, g=group: (bb, hh // g, 0, ik),
+                lambda bb, hh, iq, ik, g=group: (
+                    bb, hh // g, 0, kv_block_idx(iq, ik)),
             ))
 
     o, lse = pl.pallas_call(
@@ -286,11 +315,13 @@ def flash_attention_forward(
             ),
             pl.BlockSpec(
                 (1, 1, block_k, d),
-                lambda bb, hh, iq, ik, g=group: (bb, hh // g, ik, 0),
+                lambda bb, hh, iq, ik, g=group: (
+                    bb, hh // g, kv_block_idx(iq, ik), 0),
             ),
             pl.BlockSpec(
                 (1, 1, block_k, d),
-                lambda bb, hh, iq, ik, g=group: (bb, hh // g, ik, 0),
+                lambda bb, hh, iq, ik, g=group: (
+                    bb, hh // g, kv_block_idx(iq, ik), 0),
             ),
             *scale_specs,
         ],
@@ -319,6 +350,10 @@ def flash_attention_forward(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),
+            # Mosaic's default scoped-VMEM limit is 16 MiB — well under
+            # the chip's physical VMEM — and it, not the hardware, is
+            # what rejected (Bq,Bk) ≥ (512,2048) causal (docs/MEMO.md).
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=4 * b * h * nq_p * nk_p * d,

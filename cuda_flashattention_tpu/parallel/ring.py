@@ -245,7 +245,7 @@ def ring_decode_local(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_k: int = 2048,
+    block_k: int = 8192,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sharded-KV decode, called INSIDE shard_map: each shard attends its
@@ -277,7 +277,7 @@ def ring_decode(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_k: int = 2048,
+    block_k: int = 8192,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Global-view wrapper over ring_decode_local: q [B,H,d] replicated,
