@@ -83,6 +83,22 @@ def main() -> None:
         decode[f"int8_ctx{ctx}"] = db / t
         del kv
 
+    # --- 1M-token context decode, int8 KV (north-star long-context
+    # serving point; B=1 so the 4 GB quantized cache fits HBM) ---
+    ctx1m = 1 << 20
+    k1 = jax.random.randint(next(keys), (1, dh, ctx1m, dd), -127, 128,
+                            jnp.int8)
+    v1 = jax.random.randint(next(keys), (1, dh, ctx1m, dd), -127, 128,
+                            jnp.int8)
+    sc = jnp.full((1, dh, ctx1m), 1.0 / 127, jnp.float32)
+    dq1 = mk((1, dh, dd))
+    t = time_chained(
+        lambda x: decode_attention(
+            x, k1, v1, jnp.full((1,), ctx1m, jnp.int32), k_scale=sc,
+            v_scale=sc)[0], dq1, iters=5)
+    decode[f"int8_ctx{ctx1m}"] = 1.0 / t
+    del k1, v1, sc
+
     peaks = device_peaks()
     target = SOL_FRACTION_TARGET * peaks["peak_tflops"]
     result = {

@@ -41,23 +41,8 @@ def _fwd(q, k, v, scale, causal, kv_offset, block_sizes, interpret):
 
 def _bwd(scale, causal, kv_offset, block_sizes, interpret, res, do):
     q, k, v, o, lse = res
-    h = q.shape[1]
-    h_kv = k.shape[1]
-    if h_kv != h:
-        # GQA backward: expand KV heads, then sum gradients over each
-        # query-head group. (Round-1 simplification; a grouped backward
-        # kernel avoids the materialised repeat.)
-        group = h // h_kv
-        k_full = jnp.repeat(k, group, axis=1)
-        v_full = jnp.repeat(v, group, axis=1)
-        dq, dk_full, dv_full = flash_attention_backward(
-            q, k_full, v_full, o, lse, do, scale=scale, causal=causal,
-            kv_offset=kv_offset, block_sizes=block_sizes,
-            interpret=interpret)
-        b, _, nk, d = k.shape
-        dk = dk_full.reshape(b, h_kv, group, nk, d).sum(axis=2)
-        dv = dv_full.reshape(b, h_kv, group, nk, d).sum(axis=2)
-        return dq, dk.astype(k.dtype), dv.astype(v.dtype)
+    # GQA runs natively in the backward kernels: the dKdV grid carries a
+    # group axis accumulating all query heads that share a KV head.
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, lse, do, scale=scale, causal=causal,
         kv_offset=kv_offset, block_sizes=block_sizes, interpret=interpret)

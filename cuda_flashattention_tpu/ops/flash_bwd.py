@@ -90,11 +90,17 @@ def _bwd_dkdv_kernel(
     block_q: int,
     block_k: int,
 ):
+    # grid: (batch, KV head, kv block, q block, group member) — the last
+    # axis sweeps the query heads sharing this KV head (GQA), so dK/dV
+    # accumulate across the whole group without materialising repeated
+    # KV heads (the repeat the round-1 ops/attention.py fallback paid).
     ikv = pl.program_id(2)
     iq = pl.program_id(3)
+    ig = pl.program_id(4)
     nq_blocks = pl.num_programs(3)
+    ngroup = pl.num_programs(4)
 
-    @pl.when(iq == 0)
+    @pl.when(jnp.logical_and(iq == 0, ig == 0))
     def _init():
         dk_acc[...] = jnp.zeros_like(dk_acc)
         dv_acc[...] = jnp.zeros_like(dv_acc)
@@ -141,7 +147,7 @@ def _bwd_dkdv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(iq == nq_blocks - 1)
+    @pl.when(jnp.logical_and(iq == nq_blocks - 1, ig == ngroup - 1))
     def _epilogue():
         dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
@@ -224,15 +230,19 @@ def flash_attention_backward(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """FA2 backward. All of q/k/v/o/do are [B,H,N,d]; lse is [B,H,Nq].
+    """FA2 backward. q/o/do are [B,H,N,d], k/v are [B,Hkv,N,d] (GQA when
+    Hkv < H: the dKdV grid carries a group axis that accumulates every
+    query head sharing a KV head — no materialised repeat); lse [B,H,Nq].
 
     Host-side counterpart of `flash_attention_2_backward`
-    (ref: backward_kernel.cu:249-299). Returns (dQ, dK, dV) in the input
-    dtypes. GQA is handled by the caller (ops.attention) — this kernel
-    expects matched head counts.
+    (ref: backward_kernel.cu:249-299). Returns (dQ [B,H,N,d],
+    dK/dV [B,Hkv,N,d]) in the input dtypes.
     """
     b, h, nq, d = q.shape
-    nk = k.shape[2]
+    h_kv, nk = k.shape[1], k.shape[2]
+    if h % h_kv != 0:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
+    group = h // h_kv
     scale = resolve_scale(scale, d)
     interpret = default_interpret() if interpret is None else interpret
 
@@ -278,26 +288,29 @@ def flash_attention_backward(
         def kv_idx(iq, ik):
             return ik
 
-    q_spec = pl.BlockSpec((1, 1, block_q, d),
-                          lambda bb, hh, i, j: (bb, hh, q_idx(i, j), 0))
+    g = group
+    q_spec = pl.BlockSpec(
+        (1, 1, block_q, d),
+        lambda bb, hh, i, j, ig: (bb, hh * g + ig, q_idx(i, j), 0))
     kv_spec = pl.BlockSpec((1, 1, block_k, d),
-                           lambda bb, hh, i, j: (bb, hh, i, 0))
-    row_spec = pl.BlockSpec((1, 1, block_q, 1),
-                            lambda bb, hh, i, j: (bb, hh, q_idx(i, j), 0))
+                           lambda bb, hh, i, j, ig: (bb, hh, i, 0))
+    row_spec = pl.BlockSpec(
+        (1, 1, block_q, 1),
+        lambda bb, hh, i, j, ig: (bb, hh * g + ig, q_idx(i, j), 0))
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
-        grid=(b, h, nk_p // block_k, nq_p // block_q),
+        grid=(b, h_kv, nk_p // block_k, nq_p // block_q, group),
         in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bb, hh, i, j: (bb, hh, i, 0)),
+                         lambda bb, hh, i, j, ig: (bb, hh, i, 0)),
             pl.BlockSpec((1, 1, block_k, d),
-                         lambda bb, hh, i, j: (bb, hh, i, 0)),
+                         lambda bb, hh, i, j, ig: (bb, hh, i, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, h, nk_p, d), k.dtype),
-            jax.ShapeDtypeStruct((b, h, nk_p, d), v.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, nk_p, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, nk_p, d), v.dtype),
         ],
         scratch_shapes=[
             pltpu.VMEM((block_k, d), jnp.float32),
@@ -305,7 +318,7 @@ def flash_attention_backward(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
+                                 "arbitrary", "arbitrary"),
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
@@ -319,8 +332,9 @@ def flash_attention_backward(
 
     dq_q_spec = pl.BlockSpec((1, 1, block_q, d),
                              lambda bb, hh, i, j: (bb, hh, i, 0))
-    dq_kv_spec = pl.BlockSpec((1, 1, block_k, d),
-                              lambda bb, hh, i, j: (bb, hh, kv_idx(i, j), 0))
+    dq_kv_spec = pl.BlockSpec(
+        (1, 1, block_k, d),
+        lambda bb, hh, i, j: (bb, hh // g, kv_idx(i, j), 0))
     dq_row_spec = pl.BlockSpec((1, 1, block_q, 1),
                                lambda bb, hh, i, j: (bb, hh, i, 0))
 

@@ -1,0 +1,70 @@
+"""Structured, process-prefixed logging.
+
+TPU-native counterpart of the reference's rank-prefixed progress prints
+(ref: ring_attention_kernel.cu:201-202 prints "[Rank %d] step %d ...";
+colorized monitor output in scripts/monitor_gpu.py). Every record is
+prefixed `[pN]` with the jax process index so interleaved multi-host
+output stays attributable — the jax.distributed analog of MPI rank tags.
+
+    from cuda_flashattention_tpu.utils.log import get_logger
+    log = get_logger(__name__)
+    log.info("ring step %d: kv block %d", step, kv_idx)
+
+Knobs: CFA_LOG_LEVEL (default INFO), CFA_LOG_ALL_PROCS=1 to log from
+every process (default: process 0 only, the reference's rank-0-prints
+convention for results, ref: 04_ring_attention.cu:129-143).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import sys
+from typing import Optional
+
+_CONFIGURED = False
+
+
+class _ProcessFilter(logging.Filter):
+    def filter(self, record: logging.LogRecord) -> bool:
+        if os.environ.get("CFA_LOG_ALL_PROCS", "0") == "1":
+            return True
+        return _process_index() == 0
+
+
+def _process_index() -> int:
+    try:
+        import jax
+        return jax.process_index()
+    except Exception:
+        return 0
+
+
+class _ProcessFormatter(logging.Formatter):
+    def format(self, record: logging.LogRecord) -> str:
+        record.proc = _process_index()
+        return super().format(record)
+
+
+def _configure() -> None:
+    global _CONFIGURED
+    if _CONFIGURED:
+        return
+    handler = logging.StreamHandler(sys.stderr)
+    handler.setFormatter(_ProcessFormatter(
+        "[p%(proc)d] %(asctime)s %(levelname)s %(name)s: %(message)s",
+        datefmt="%H:%M:%S"))
+    handler.addFilter(_ProcessFilter())
+    root = logging.getLogger("cuda_flashattention_tpu")
+    root.addHandler(handler)
+    root.setLevel(os.environ.get("CFA_LOG_LEVEL", "INFO").upper())
+    root.propagate = False
+    _CONFIGURED = True
+
+
+def get_logger(name: Optional[str] = None) -> logging.Logger:
+    _configure()
+    base = "cuda_flashattention_tpu"
+    if name and not name.startswith(base):
+        name = f"{base}.{name}"
+    return logging.getLogger(name or base)

@@ -129,3 +129,36 @@ def test_bf16_grads():
     assert_close(dq.astype(jnp.float32), dq_r, 3e-2, "dQ (bf16)")
     assert_close(dk.astype(jnp.float32), dk_r, 3e-2, "dK (bf16)")
     assert_close(dv.astype(jnp.float32), dv_r, 3e-2, "dV (bf16)")
+
+
+def test_gqa_backward_no_repeat():
+    """Grouped dKdV kernel vs the oracle with explicitly repeated heads
+    (the round-1 implementation materialised the repeat; the kernel now
+    carries a group grid axis instead)."""
+    import jax
+    import jax.numpy as jnp
+    from cuda_flashattention_tpu.ops.attention import flash_attention
+    from cuda_flashattention_tpu.ops.naive import naive_attention_backward
+    from cuda_flashattention_tpu.utils.testing import assert_close, seeded_random
+
+    b, h, h_kv, n, d = 2, 8, 2, 96, 32
+    q = jnp.asarray(seeded_random((b, h, n, d), seed=61))
+    k = jnp.asarray(seeded_random((b, h_kv, n, d), seed=62))
+    v = jnp.asarray(seeded_random((b, h_kv, n, d), seed=63))
+    do = jnp.asarray(seeded_random((b, h, n, d), seed=64))
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=True) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    group = h // h_kv
+    k_full = jnp.repeat(k, group, axis=1)
+    v_full = jnp.repeat(v, group, axis=1)
+    dq_r, dk_r, dv_r = naive_attention_backward(q, k_full, v_full, do,
+                                                causal=True)
+    dk_ref = dk_r.reshape(b, h_kv, group, n, d).sum(axis=2)
+    dv_ref = dv_r.reshape(b, h_kv, group, n, d).sum(axis=2)
+    assert_close(dq, dq_r, 2e-3, name="gqa dQ")
+    assert_close(dk, dk_ref, 2e-3, name="gqa dK")
+    assert_close(dv, dv_ref, 2e-3, name="gqa dV")

@@ -26,6 +26,13 @@ from cuda_flashattention_tpu.utils.testing import (
     random_qkv,
 )
 
+# On real TPU, fp32 matmuls run as bf16 multi-pass decompositions; the
+# MATERIALISED-dequant reference path rounds K·scale into that
+# decomposition while the fused path feeds exactly-representable int8
+# values, so "exact vs dequantised" holds only to bf16-decomposition
+# error on-chip (interpret mode is bit-exact fp32).
+ON_TPU = jax.default_backend() == "tpu"
+
 
 @pytest.mark.parametrize("qtype,tol", [("int8", 5e-3), ("fp8", 4e-2)])
 def test_quantize_roundtrip(qtype, tol):
@@ -46,8 +53,10 @@ def test_kernel_exact_vs_dequantized(qtype):
     k_deq, v_deq = kv.dequantize()
     o_fused, lse_fused = flash_attention_quantized(q, kv)
     o_ref, lse_ref = flash_attention_forward(q, k_deq, v_deq)
-    assert_close(o_fused, o_ref, 1e-5, f"O fused-vs-dequant {qtype}")
-    assert_close(lse_fused, lse_ref, 1e-4, f"LSE fused-vs-dequant {qtype}")
+    tol_o, tol_lse = (5e-4, 5e-4) if ON_TPU else (1e-5, 1e-4)
+    assert_close(o_fused, o_ref, tol_o, f"O fused-vs-dequant {qtype}")
+    assert_close(lse_fused, lse_ref, tol_lse,
+                 f"LSE fused-vs-dequant {qtype}")
 
 
 @pytest.mark.parametrize("qtype,tol", [("int8", 1e-3), ("fp8", 1e-2)])
@@ -68,8 +77,8 @@ def test_causal_quantized(qtype):
     kv = quantize_kv(k, v, qtype)
     o, _ = flash_attention_quantized(q, kv, causal=True)
     o_ref, _ = naive_attention(q, k, v, causal=True)
-    assert_close(o, o_ref, 2e-2 if qtype == "fp8" else 2e-3,
-                 f"O causal {qtype}")
+    tol = 2e-2 if qtype == "fp8" else (3e-3 if ON_TPU else 2e-3)
+    assert_close(o, o_ref, tol, f"O causal {qtype}")
 
 
 def test_gqa_quantized():
