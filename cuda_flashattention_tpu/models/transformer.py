@@ -113,7 +113,7 @@ def rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float):
 def _attention_block(layer: Params, x: jnp.ndarray, cfg: TransformerConfig,
                      positions: jnp.ndarray,
                      mesh: Optional[Mesh], seq_axis: Optional[str],
-                     batch_axis: Optional[str],
+                     batch_axis: Optional[str], head_axis: Optional[str],
                      block_sizes: Optional[BlockSizes]) -> jnp.ndarray:
     b, t, _ = x.shape
     h = rms_norm(x, layer["attn_norm"])
@@ -134,7 +134,7 @@ def _attention_block(layer: Params, x: jnp.ndarray, cfg: TransformerConfig,
             vt = jnp.repeat(vt, group, axis=1)
         o = ring_attention(qt, kt, vt, mesh, axis_name=seq_axis,
                            causal=True, batch_axis=batch_axis,
-                           block_sizes=block_sizes)
+                           head_axis=head_axis, block_sizes=block_sizes)
     else:
         o = flash_attention(qt, kt, vt, causal=True,
                             block_sizes=block_sizes)
@@ -157,18 +157,23 @@ def forward(
     mesh: Optional[Mesh] = None,
     seq_axis: Optional[str] = None,
     batch_axis: Optional[str] = None,
+    head_axis: Optional[str] = None,
     block_sizes: Optional[BlockSizes] = None,
 ) -> jnp.ndarray:
     """Causal LM forward: tokens [B, T] → logits [B, T, V].
 
     With mesh+seq_axis, attention runs sequence-parallel (ring) while the
-    token-local layers (norm/FFN/proj) stay under GSPMD propagation."""
+    token-local layers (norm/FFN/proj) stay under GSPMD propagation.
+    `head_axis` adds tensor parallelism: attention heads (and, via
+    param_shardings, the FFN hidden dim) shard over that mesh axis —
+    heads are independent, so the ring code is unchanged (the shard_map
+    specs widen, parallel/ring.py)."""
     b, t = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)
     positions = jnp.arange(t)
     for layer in params["layers"]:
         x = _attention_block(layer, x, cfg, positions, mesh, seq_axis,
-                             batch_axis, block_sizes)
+                             batch_axis, head_axis, block_sizes)
         x = _mlp_block(layer, x)
     x = rms_norm(x, params["final_norm"])
     return (x @ params["embed"].T).astype(jnp.float32)
@@ -269,8 +274,25 @@ def decode_one(params: Params, token: jnp.ndarray, position,
 
 
 def param_shardings(params: Params, mesh: Mesh,
-                    batch_axis: str = "dp") -> Params:
-    """Replicated parameter shardings (data-parallel baseline; tensor
-    parallel param layouts land with the tp axis work)."""
+                    batch_axis: str = "dp",
+                    head_axis: Optional[str] = None) -> Params:
+    """Parameter shardings. Without `head_axis`: fully replicated
+    (data-parallel baseline). With it: Megatron-style tensor parallelism —
+    attention QKV/O shard on the head dimension and the FFN shards on its
+    hidden dimension, so each tp rank holds 1/tp of every layer's weights
+    and the only cross-rank traffic is the (XLA-inserted) output
+    reductions."""
     rep = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda _: rep, params)
+    if head_axis is None:
+        return jax.tree_util.tree_map(lambda _: rep, params)
+    col = NamedSharding(mesh, P(None, head_axis))   # output-dim sharded
+    row = NamedSharding(mesh, P(head_axis, None))   # input-dim sharded
+    layer_spec = dict(
+        attn_norm=rep, wq=col, wk=col, wv=col, wo=row,
+        mlp_norm=rep, w_gate=col, w_up=col, w_down=row,
+    )
+    return dict(
+        embed=rep,
+        final_norm=rep,
+        layers=[dict(layer_spec) for _ in params["layers"]],
+    )

@@ -122,3 +122,35 @@ def test_sequence_parallel_train_step():
         lambda a, b: float(jnp.max(jnp.abs(a - b))), g_ring, g_ref)
     max_diff = max(jax.tree_util.tree_leaves(diffs))
     assert max_diff < 5e-4, f"grad mismatch: {max_diff}"
+
+
+def test_tensor_parallel_matches_unsharded():
+    """dp×tp×sp train step must compute the same loss as the unsharded
+    step — tensor parallelism (head/FFN sharding) is a layout, not a
+    math change."""
+    import numpy as np
+    import optax
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from cuda_flashattention_tpu.models.transformer import (
+        init_params, make_train_step, param_shardings)
+
+    devices = np.array(jax.devices()[:8])
+    mesh = Mesh(devices.reshape(2, 2, 2), ("dp", "tp", "sp"))
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (4, 16), 0,
+                                CFG.vocab_size)
+
+    opt = optax.sgd(1e-2)
+    step_plain = make_train_step(CFG, opt)
+    p1, _, loss_plain = step_plain(params, opt.init(params), tokens)
+
+    params_tp = jax.device_put(
+        init_params(jax.random.PRNGKey(0), CFG),
+        param_shardings(init_params(jax.random.PRNGKey(0), CFG), mesh,
+                        head_axis="tp"))
+    tokens_tp = jax.device_put(tokens, NamedSharding(mesh, P("dp", None)))
+    step_tp = make_train_step(CFG, opt, mesh=mesh, seq_axis="sp",
+                              batch_axis="dp", head_axis="tp")
+    p2, _, loss_tp = step_tp(params_tp, opt.init(params_tp), tokens_tp)
+    assert abs(float(loss_plain) - float(loss_tp)) < 1e-4, (
+        f"{float(loss_plain)} vs {float(loss_tp)}")
