@@ -99,6 +99,36 @@ def main() -> None:
     decode[f"int8_ctx{ctx1m}"] = 1.0 / t
     del k1, v1, sc
 
+    # --- flagship model train step (single chip): tokens/s + MFU ---
+    import optax
+    from cuda_flashattention_tpu.models.transformer import (
+        TransformerConfig, init_params, make_train_step)
+    cfg = TransformerConfig(
+        vocab_size=32000, d_model=2048, n_layers=4, n_heads=16,
+        n_kv_heads=16, d_head=128, d_ff=5632, max_seq=4096,
+        dtype=jnp.bfloat16)
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    n_params = sum(x.size for x in jax.tree_util.tree_leaves(params))
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, 4096), 0,
+                                cfg.vocab_size)
+    opt = optax.sgd(1e-4)  # stateless: keeps the bench about compute
+    # donate=False: time_chained replays from the saved x0 after warmup,
+    # which a donating step would have already consumed
+    step = make_train_step(cfg, opt, donate=False)
+    opt_state = opt.init(params)
+
+    def train_once(p):
+        p2, _, loss = step(p, opt_state, tokens)
+        return p2
+    t_train = time_chained(train_once, params, iters=3, warmup=1)
+    toks_per_s = tokens.size / t_train
+    # 6·P matmul flops per token (fwd 2P + bwd 4P) + attention extra
+    train_flops = (6.0 * n_params * tokens.size
+                   + 3 * attention_flops(1, cfg.n_heads, 4096, 4096,
+                                         cfg.d_head, causal=True)
+                   * cfg.n_layers)
+    del params, opt_state
+
     peaks = device_peaks()
     target = SOL_FRACTION_TARGET * peaks["peak_tflops"]
     result = {
@@ -116,6 +146,14 @@ def main() -> None:
             "fwd_bwd_tflops": round(tflops_fb, 2),
             "decode_tokens_per_s": {k: round(v, 1)
                                     for k, v in decode.items()},
+            "train_step": {
+                "config": (f"L={cfg.n_layers} d={cfg.d_model} "
+                           f"ff={cfg.d_ff} T=4096 bf16"),
+                "params_m": round(n_params / 1e6, 1),
+                "tokens_per_s": round(toks_per_s, 1),
+                "mfu": round(train_flops / t_train / 1e12
+                             / peaks["peak_tflops"], 4),
+            },
         },
     }
     print(json.dumps(result))

@@ -190,8 +190,13 @@ def loss_fn(params: Params, tokens: jnp.ndarray, cfg: TransformerConfig,
     return nll[:, :-1].mean()
 
 
-def make_train_step(cfg: TransformerConfig, optimizer, **fwd_kw):
-    """Build a jitted SGD/optax train step (donated params/opt_state)."""
+def make_train_step(cfg: TransformerConfig, optimizer, donate: bool = True,
+                    **fwd_kw):
+    """Build a jitted SGD/optax train step. `donate=True` donates
+    params/opt_state for in-place HBM updates (callers must then thread
+    the RETURNED params/opt_state; re-calling with consumed buffers is a
+    backend error — set donate=False for benchmarking harnesses that
+    replay from a saved x0)."""
 
     def train_step(params, opt_state, tokens):
         loss, grads = jax.value_and_grad(
@@ -201,7 +206,7 @@ def make_train_step(cfg: TransformerConfig, optimizer, **fwd_kw):
             lambda p, u: (p + u).astype(p.dtype), params, updates)
         return params, opt_state, loss
 
-    return jax.jit(train_step, donate_argnums=(0, 1))
+    return jax.jit(train_step, donate_argnums=(0, 1) if donate else ())
 
 
 # ---------------------------------------------------------------------------

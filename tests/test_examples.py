@@ -18,6 +18,7 @@ STAGES = [
     "examples/02_overlap.py",
     "examples/03_attention_1chip.py",
     "examples/04_ring_attention.py",
+    "examples/05_generate.py",
 ]
 
 
