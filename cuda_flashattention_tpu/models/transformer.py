@@ -251,6 +251,79 @@ def prefill(params: Params, tokens: jnp.ndarray, cfg: TransformerConfig,
     return logits, tuple(new_caches)
 
 
+def prefill_chunk(params: Params, tokens: jnp.ndarray, start: int,
+                  cfg: TransformerConfig, caches: Tuple[KVCache, ...],
+                  block_sizes: Optional[BlockSizes] = None):
+    """Prefill one chunk of C tokens starting at static position `start`:
+    each chunk attends the already-cached prefix (through the
+    fused-dequant kernel when the cache is quantized) plus itself
+    causally, and the two partials merge exactly in log space
+    (parallel.ring.combine_partials). Peak score memory is O(C·ctx) per
+    chunk instead of O(T²) — the chunked-prefill serving pattern.
+
+    Returns (logits_last [B, V], caches)."""
+    from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+    from cuda_flashattention_tpu.parallel.ring import combine_partials
+
+    b, c = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+    positions = jnp.arange(start, start + c)
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        h = rms_norm(x, layer["attn_norm"])
+        q = (h @ layer["wq"]).reshape(b, c, cfg.n_heads, cfg.d_head)
+        k = (h @ layer["wk"]).reshape(b, c, cfg.n_kv_heads, cfg.d_head)
+        v = (h @ layer["wv"]).reshape(b, c, cfg.n_kv_heads, cfg.d_head)
+        q = rope(q, positions, cfg.rope_theta)
+        k = rope(k, positions, cfg.rope_theta)
+        qt = q.transpose(0, 2, 1, 3)
+        kt = k.transpose(0, 2, 1, 3)
+        vt = v.transpose(0, 2, 1, 3)
+        cache = cache_append(cache, kt, vt)
+        new_caches.append(cache)
+        # self-attention within the chunk: Q and K are both chunk-local,
+        # so this is plain local causal (kv_offset shifts Q against a
+        # GLOBAL key index — that's the ring/sharded-K case, not this one)
+        o_new, lse_new = flash_attention_forward(
+            qt, kt, vt, causal=True,
+            block_sizes=block_sizes, out_dtype=jnp.float32)
+        if start > 0:
+            # cached prefix: fully visible, read in storage dtype with
+            # dequant fused into the kernel when quantized
+            ks = (cache.k_scale[:, :, :start] if cache.quantized else None)
+            vs = (cache.v_scale[:, :, :start] if cache.quantized else None)
+            o_old, lse_old = flash_attention_forward(
+                qt, cache.k[:, :, :start], cache.v[:, :, :start],
+                k_scale=ks, v_scale=vs, causal=False,
+                block_sizes=block_sizes, out_dtype=jnp.float32)
+            o_c, _ = combine_partials(o_old, lse_old, o_new, lse_new)
+        else:
+            o_c = o_new
+        o = o_c.astype(cfg.dtype).transpose(0, 2, 1, 3).reshape(
+            b, c, cfg.d_q)
+        x = x + (o @ layer["wo"]).astype(x.dtype)
+        x = _mlp_block(layer, x)
+    x = rms_norm(x, params["final_norm"])
+    logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
+    return logits, tuple(new_caches)
+
+
+def prefill_chunked(params: Params, tokens: jnp.ndarray,
+                    cfg: TransformerConfig, caches: Tuple[KVCache, ...],
+                    chunk: int,
+                    block_sizes: Optional[BlockSizes] = None):
+    """Prefill a long prompt in fixed-size chunks (last chunk may be
+    shorter). Equivalent to `prefill` but with bounded per-step memory;
+    chunk boundaries are static so every step jits with static shapes."""
+    b, t = tokens.shape
+    logits = None
+    for s in range(0, t, chunk):
+        logits, caches = prefill_chunk(
+            params, tokens[:, s:s + chunk], s, cfg, caches,
+            block_sizes=block_sizes)
+    return logits, caches
+
+
 def decode_one(params: Params, token: jnp.ndarray, position,
                cfg: TransformerConfig, caches: Tuple[KVCache, ...]):
     """One autoregressive step: token [B] → (logits [B, V], caches).
