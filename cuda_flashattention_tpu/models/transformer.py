@@ -128,10 +128,7 @@ def _attention_block(layer: Params, x: jnp.ndarray, cfg: TransformerConfig,
     vt = v.transpose(0, 2, 1, 3)
     if mesh is not None and seq_axis is not None:
         # sequence-parallel training path: ring attention over the mesh
-        group = cfg.n_heads // cfg.n_kv_heads
-        if group != 1:
-            kt = jnp.repeat(kt, group, axis=1)
-            vt = jnp.repeat(vt, group, axis=1)
+        # (GQA handled natively by the flash kernels inside the ring)
         o = ring_attention(qt, kt, vt, mesh, axis_name=seq_axis,
                            causal=True, batch_axis=batch_axis,
                            head_axis=head_axis, block_sizes=block_sizes)

@@ -23,30 +23,35 @@ from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash_attention(q, k, v, scale, causal, kv_offset, block_sizes,
-                     interpret):
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
+def _flash_attention(q, k, v, q_seg, kv_seg, scale, causal, kv_offset,
+                     block_sizes, interpret):
     o, _ = flash_attention_forward(
         q, k, v, scale=scale, causal=causal, kv_offset=kv_offset,
-        block_sizes=block_sizes, interpret=interpret)
+        block_sizes=block_sizes, interpret=interpret,
+        q_segment_ids=q_seg, kv_segment_ids=kv_seg)
     return o
 
 
-def _fwd(q, k, v, scale, causal, kv_offset, block_sizes, interpret):
+def _fwd(q, k, v, q_seg, kv_seg, scale, causal, kv_offset, block_sizes,
+         interpret):
     o, lse = flash_attention_forward(
         q, k, v, scale=scale, causal=causal, kv_offset=kv_offset,
-        block_sizes=block_sizes, interpret=interpret)
-    return o, (q, k, v, o, lse)
+        block_sizes=block_sizes, interpret=interpret,
+        q_segment_ids=q_seg, kv_segment_ids=kv_seg)
+    return o, (q, k, v, q_seg, kv_seg, o, lse)
 
 
 def _bwd(scale, causal, kv_offset, block_sizes, interpret, res, do):
-    q, k, v, o, lse = res
+    q, k, v, q_seg, kv_seg, o, lse = res
     # GQA runs natively in the backward kernels: the dKdV grid carries a
     # group axis accumulating all query heads that share a KV head.
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, lse, do, scale=scale, causal=causal,
-        kv_offset=kv_offset, block_sizes=block_sizes, interpret=interpret)
-    return dq, dk, dv
+        kv_offset=kv_offset, block_sizes=block_sizes, interpret=interpret,
+        q_segment_ids=q_seg, kv_segment_ids=kv_seg)
+    # segment ids are integer inputs: no cotangent (None = symbolic zero)
+    return dq, dk, dv, None, None
 
 
 _flash_attention.defvjp(_fwd, _bwd)
@@ -61,15 +66,19 @@ def flash_attention(
     kv_offset: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Differentiable FlashAttention-2: q [B,H,Nq,d], k/v [B,Hkv,Nk,d] → O.
 
     Supports GQA/MQA (Hkv dividing H), causal masking with a global
-    `kv_offset` (for sequence-sharded callers), bf16/fp32 inputs with fp32
-    accumulation, and arbitrary (non-tile-divisible) sequence lengths.
+    `kv_offset` (for sequence-sharded callers), packed sequences via
+    `q_segment_ids`/`kv_segment_ids` [B, N] (cross-segment attention
+    masked, fwd and bwd), bf16/fp32 inputs with fp32 accumulation, and
+    arbitrary (non-tile-divisible) sequence lengths.
     """
-    return _flash_attention(q, k, v, scale, causal, kv_offset, block_sizes,
-                            interpret)
+    return _flash_attention(q, k, v, q_segment_ids, kv_segment_ids, scale,
+                            causal, kv_offset, block_sizes, interpret)
 
 
 def mha(

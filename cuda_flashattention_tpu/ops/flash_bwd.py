@@ -45,11 +45,12 @@ from cuda_flashattention_tpu.ops.common import (
 
 
 def _mask_scores(s, iq, ik, *, causal, kv_offset, nk_valid, block_q,
-                 block_k):
-    """Padding/causal mask from (Bq,1)x(1,Bk) vector iotas (full-tile
-    int32 iota pairs cost 8 B/elem of VMEM and cap block sizes)."""
+                 block_k, qseg=None, kseg=None):
+    """Padding/causal/segment mask from (Bq,1)x(1,Bk) vector operands
+    (full-tile int32 iota pairs cost 8 B/elem of VMEM and cap block
+    sizes)."""
     need_pad = nk_valid % block_k != 0
-    if not (need_pad or causal):
+    if not (need_pad or causal or qseg is not None):
         return s
     col = (jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
            + ik * block_k)
@@ -58,6 +59,8 @@ def _mask_scores(s, iq, ik, *, causal, kv_offset, nk_valid, block_q,
         row = (jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
                + iq * block_q + kv_offset)
         ok = jnp.logical_and(ok, col <= row)
+    if qseg is not None:
+        ok = jnp.logical_and(ok, qseg == kseg)  # (Bq,1) == (1,Bk)
     return jnp.where(ok, s, NEG_INF)
 
 
@@ -79,9 +82,7 @@ def _p_from_lse(s2: jnp.ndarray, lse_block: jnp.ndarray) -> jnp.ndarray:
 
 def _bwd_dkdv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dk_ref, dv_ref,
-    dk_acc, dv_acc,
-    *,
+    *refs,
     scale: float,
     causal: bool,
     kv_offset: int,
@@ -89,7 +90,13 @@ def _bwd_dkdv_kernel(
     nk_valid: int,
     block_q: int,
     block_k: int,
+    segmented: bool,
 ):
+    if segmented:
+        (qseg_ref, kseg_ref, dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    else:
+        (dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        qseg_ref = kseg_ref = None
     # grid: (batch, KV head, kv block, q block, group member) — the last
     # axis sweeps the query heads sharing this KV head (GQA), so dK/dV
     # accumulate across the whole group without materialising repeated
@@ -125,7 +132,9 @@ def _bwd_dkdv_kernel(
         ) * (scale * _LOG2E)  # (Bq, Bk), log2 units
         s = _mask_scores(s, iq, ikv, causal=causal, kv_offset=kv_offset,
                          nk_valid=nk_valid, block_q=block_q,
-                         block_k=block_k)
+                         block_k=block_k,
+                         qseg=None if not segmented else qseg_ref[0],
+                         kseg=None if not segmented else kseg_ref[0])
 
         p = _p_from_lse(s, lse)  # (Bq, Bk) fp32
 
@@ -155,9 +164,7 @@ def _bwd_dkdv_kernel(
 
 def _bwd_dq_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
-    dq_ref,
-    dq_acc,
-    *,
+    *refs,
     scale: float,
     causal: bool,
     kv_offset: int,
@@ -165,7 +172,13 @@ def _bwd_dq_kernel(
     nk_valid: int,
     block_q: int,
     block_k: int,
+    segmented: bool,
 ):
+    if segmented:
+        (qseg_ref, kseg_ref, dq_ref, dq_acc) = refs
+    else:
+        (dq_ref, dq_acc) = refs
+        qseg_ref = kseg_ref = None
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk_blocks = pl.num_programs(3)
@@ -192,7 +205,9 @@ def _bwd_dq_kernel(
         ) * (scale * _LOG2E)  # log2 units
         s = _mask_scores(s, iq, ik, causal=causal, kv_offset=kv_offset,
                          nk_valid=nk_valid, block_q=block_q,
-                         block_k=block_k)
+                         block_k=block_k,
+                         qseg=None if not segmented else qseg_ref[0],
+                         kseg=None if not segmented else kseg_ref[0])
 
         p = _p_from_lse(s, lse)
         dp = jax.lax.dot_general(
@@ -229,6 +244,8 @@ def flash_attention_backward(
     kv_offset: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """FA2 backward. q/o/do are [B,H,N,d], k/v are [B,Hkv,N,d] (GQA when
     Hkv < H: the dKdV grid carries a group axis that accumulates every
@@ -264,10 +281,22 @@ def flash_attention_backward(
     v_p = pad_to_block(v, 2, block_k)
     nq_p, nk_p = q_p.shape[2], k_p.shape[2]
 
+    segmented = q_segment_ids is not None
     common = dict(
         scale=scale, causal=causal, kv_offset=kv_offset,
         nq_valid=nq, nk_valid=nk, block_q=block_q, block_k=block_k,
+        segmented=segmented,
     )
+    seg_inputs = []
+    if segmented:
+        # q ids [B, Nq, 1] (pad -1) / kv ids [B, 1, Nk] (pad -2): distinct
+        # pad ids so padded rows/cols never match (same as flash_fwd)
+        seg_inputs = [
+            pad_to_block(jnp.asarray(q_segment_ids, jnp.int32)[:, :, None],
+                         1, block_q, value=-1),
+            pad_to_block(jnp.asarray(kv_segment_ids, jnp.int32)[:, None, :],
+                         2, block_k, value=-2),
+        ]
 
     # Causal block-index clamping (same trick as flash_fwd): steps whose
     # compute is skipped map to the nearest visible block, so consecutive
@@ -298,10 +327,18 @@ def flash_attention_backward(
         (1, 1, block_q, 1),
         lambda bb, hh, i, j, ig: (bb, hh * g + ig, q_idx(i, j), 0))
 
+    dkdv_seg_specs = [
+        pl.BlockSpec((1, block_q, 1),
+                     lambda bb, hh, i, j, ig: (bb, q_idx(i, j), 0)),
+        pl.BlockSpec((1, 1, block_k),
+                     lambda bb, hh, i, j, ig: (bb, 0, i)),
+    ] if segmented else []
+
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkdv_kernel, **common),
         grid=(b, h_kv, nk_p // block_k, nq_p // block_q, group),
-        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec,
+                  *dkdv_seg_specs],
         out_specs=[
             pl.BlockSpec((1, 1, block_k, d),
                          lambda bb, hh, i, j, ig: (bb, hh, i, 0)),
@@ -328,7 +365,7 @@ def flash_attention_backward(
             transcendentals=b * h * nq_p * nk_p,
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p, do_p, lse_p, delta_p)
+    )(q_p, k_p, v_p, do_p, lse_p, delta_p, *seg_inputs)
 
     dq_q_spec = pl.BlockSpec((1, 1, block_q, d),
                              lambda bb, hh, i, j: (bb, hh, i, 0))
@@ -338,11 +375,18 @@ def flash_attention_backward(
     dq_row_spec = pl.BlockSpec((1, 1, block_q, 1),
                                lambda bb, hh, i, j: (bb, hh, i, 0))
 
+    dq_seg_specs = [
+        pl.BlockSpec((1, block_q, 1),
+                     lambda bb, hh, i, j: (bb, i, 0)),
+        pl.BlockSpec((1, 1, block_k),
+                     lambda bb, hh, i, j: (bb, 0, kv_idx(i, j))),
+    ] if segmented else []
+
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid=(b, h, nq_p // block_q, nk_p // block_k),
         in_specs=[dq_q_spec, dq_kv_spec, dq_kv_spec, dq_q_spec,
-                  dq_row_spec, dq_row_spec],
+                  dq_row_spec, dq_row_spec, *dq_seg_specs],
         out_specs=pl.BlockSpec((1, 1, block_q, d),
                                lambda bb, hh, i, j: (bb, hh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, nq_p, d), q.dtype),
@@ -359,6 +403,6 @@ def flash_attention_backward(
             transcendentals=b * h * nq_p * nk_p,
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p, do_p, lse_p, delta_p)
+    )(q_p, k_p, v_p, do_p, lse_p, delta_p, *seg_inputs)
 
     return dq[:, :, :nq], dk[:, :, :nk], dv[:, :, :nk]

@@ -62,19 +62,30 @@ def _fwd_kernel(
     block_q: int,
     block_k: int,
     quantized: bool,
+    segmented: bool,
 ):
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    refs = refs[3:]
     if quantized:
         # K/V arrive quantized (int8 / fp8) with per-token fp32 scales laid
         # out [B,Hkv,1,N] so the kernel sees them as (1, Bk) row vectors —
         # dequantisation is FOLDED into the matmuls (weight-only style):
         # S = (Q·K_qᵀ) ⊙ k_scaleᵀ and O += (P ⊙ v_scaleᵀ)·V_q. The int8/fp8
         # → bf16 casts are exact, so no precision is lost beyond the MXU.
-        (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
-         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch) = refs
+        k_scale_ref, v_scale_ref = refs[:2]
+        refs = refs[2:]
     else:
-        (q_ref, k_ref, v_ref,
-         o_ref, lse_ref, m_scratch, l_scratch, acc_scratch) = refs
         k_scale_ref = v_scale_ref = None
+    if segmented:
+        # packed sequences: q ids as a (Bq, 1) column, kv ids as a (1, Bk)
+        # row — cross-segment pairs are masked (every block takes the
+        # masked path; segment boundaries are not known statically)
+        qseg_ref, kseg_ref = refs[:2]
+        refs = refs[2:]
+    else:
+        qseg_ref = kseg_ref = None
+    (o_ref, lse_ref, m_scratch, l_scratch, acc_scratch) = refs
     iq = pl.program_id(2)
     ik = pl.program_id(3)
     nk_blocks = pl.num_programs(3)
@@ -165,23 +176,31 @@ def _fwd_kernel(
                 row = jax.lax.broadcasted_iota(
                     jnp.int32, (s.shape[0], 1), 0) + iq * block_q + kv_offset
                 ok = jnp.logical_and(ok, col <= row)
+            if segmented:
+                # q ids (Bq,1) vs kv ids (1,Bk) — broadcast compare
+                ok = jnp.logical_and(ok, qseg_ref[0] == kseg_ref[0])
             s = jnp.where(ok, s, NEG_INF)
             update(s, guarded=True)
 
         # Per-element masks cost real VPU time; restrict them to the
         # blocks that need them — the causal-diagonal straddlers and the
         # ragged last KV block. Interior blocks take the mask-free path.
+        # With segment ids, boundaries aren't static: always masked.
         needs_mask = None
-        if causal:
+        if segmented:
+            needs_mask = jnp.bool_(True)
+        elif causal:
             straddle = (ik * block_k + (block_k - 1)
                         > iq * block_q + kv_offset)
             needs_mask = straddle
-        if nk_valid % block_k != 0:
+        if not segmented and nk_valid % block_k != 0:
             tail = ik == nk_blocks - 1
             needs_mask = tail if needs_mask is None else (needs_mask | tail)
 
         if needs_mask is None:
             update(s, guarded=False)
+        elif segmented:
+            masked_update(s)
         else:
             @pl.when(needs_mask)
             def _slow():
@@ -224,6 +243,8 @@ def flash_attention_forward(
     out_dtype=None,
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
+    q_segment_ids: Optional[jnp.ndarray] = None,
+    kv_segment_ids: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FA2 forward. q [B,H,Nq,d], k/v [B,Hkv,Nk,d] → (O [B,H,Nq,d], LSE [B,H,Nq]).
 
@@ -251,6 +272,9 @@ def flash_attention_forward(
     quantized = k_scale is not None
     if quantized and v_scale is None:
         raise ValueError("k_scale given without v_scale")
+    segmented = q_segment_ids is not None
+    if segmented and kv_segment_ids is None:
+        raise ValueError("q_segment_ids given without kv_segment_ids")
 
     bs = (block_sizes.clamp(nq, nk) if block_sizes is not None
           else auto_block_sizes(nq, nk, d, causal=causal))
@@ -273,6 +297,7 @@ def flash_attention_forward(
         block_q=block_q,
         block_k=block_k,
         quantized=quantized,
+        segmented=segmented,
     )
 
     # Under causal masking, KV blocks beyond the diagonal contribute
@@ -304,6 +329,22 @@ def flash_attention_forward(
                 lambda bb, hh, iq, ik, g=group: (
                     bb, hh // g, 0, kv_block_idx(iq, ik)),
             ))
+    if segmented:
+        # q ids [B, Nq, 1] (padded with -1) / kv ids [B, 1, Nk] (padded
+        # with -2): distinct pad ids so padded q rows match nothing
+        qs = pad_to_block(
+            jnp.asarray(q_segment_ids, jnp.int32)[:, :, None], 1, block_q,
+            value=-1)
+        ks = pad_to_block(
+            jnp.asarray(kv_segment_ids, jnp.int32)[:, None, :], 2, block_k,
+            value=-2)
+        inputs.append(qs)
+        scale_specs.append(pl.BlockSpec(
+            (1, block_q, 1), lambda bb, hh, iq, ik: (bb, iq, 0)))
+        inputs.append(ks)
+        scale_specs.append(pl.BlockSpec(
+            (1, 1, block_k),
+            lambda bb, hh, iq, ik: (bb, 0, kv_block_idx(iq, ik))))
 
     o, lse = pl.pallas_call(
         kernel,

@@ -33,6 +33,8 @@ def naive_attention(
     scale: Optional[float] = None,
     causal: bool = False,
     kv_offset: int = 0,
+    q_segment_ids=None,
+    kv_segment_ids=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Exact attention forward; returns (O, LSE).
 
@@ -57,6 +59,11 @@ def naive_attention(
         qi = jnp.arange(nq)[:, None] + kv_offset
         kj = jnp.arange(nk)[None, :]
         s = jnp.where(kj <= qi, s, -jnp.inf)
+    if q_segment_ids is not None:
+        # packed sequences: [B, Nq]/[B, Nk] ids; cross-segment pairs masked
+        qs = jnp.asarray(q_segment_ids)[:, None, :, None]  # [B,1,Nq,1]
+        ks = jnp.asarray(kv_segment_ids)[:, None, None, :]
+        s = jnp.where(qs == ks, s, -jnp.inf)
     m = jnp.max(s, axis=-1, keepdims=True)
     # Fully-masked rows: keep exp() finite; their output is defined as 0.
     m_safe = jnp.where(jnp.isfinite(m), m, 0.0)
@@ -76,6 +83,8 @@ def naive_attention_backward(
     scale: Optional[float] = None,
     causal: bool = False,
     kv_offset: int = 0,
+    q_segment_ids=None,
+    kv_segment_ids=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Exact attention backward via the explicit softmax Jacobian.
 
@@ -97,6 +106,10 @@ def naive_attention_backward(
         qi = jnp.arange(nq)[:, None] + kv_offset
         kj = jnp.arange(nk)[None, :]
         s = jnp.where(kj <= qi, s, -jnp.inf)
+    if q_segment_ids is not None:
+        qs = jnp.asarray(q_segment_ids)[:, None, :, None]
+        ks = jnp.asarray(kv_segment_ids)[:, None, None, :]
+        s = jnp.where(qs == ks, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(jnp.isfinite(s), p, 0.0)
     dv = jnp.einsum("...qk,...qd->...kd", p, do)

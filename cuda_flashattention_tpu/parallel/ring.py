@@ -223,9 +223,9 @@ def ring_attention(
         raise ValueError(
             f"seq len {n} must divide the '{axis_name}' axis "
             f"({n_shards} shards)")
-    if k.shape[1] != h:
-        raise ValueError("ring_attention requires matched q/kv heads; "
-                         "repeat KV heads for GQA before sharding")
+    if h % k.shape[1] != 0:
+        raise ValueError(f"q heads {h} not a multiple of kv heads "
+                         f"{k.shape[1]}")
     scale = resolve_scale(scale, d)
 
     ring_local = _make_ring_local(axis_name, n_shards, scale, causal,

@@ -142,3 +142,46 @@ def test_ring_decode_quantized():
     o_ref, _ = naive_attention(q[:, :, None, :], k[:, :, :400],
                                v[:, :, :400])
     assert_close(o, o_ref[:, :, 0], 5e-3, "ring decode int8 O")
+
+
+def test_ring_gqa():
+    """GQA through the ring: KV heads shard/rotate at their own count;
+    the in-ring flash kernels group natively (fwd index maps, bwd group
+    axis)."""
+    import jax
+    import jax.numpy as jnp
+    from cuda_flashattention_tpu.ops.naive import (
+        naive_attention, naive_attention_backward)
+    from cuda_flashattention_tpu.parallel.mesh import make_mesh, shard_on_axis
+    from cuda_flashattention_tpu.parallel.ring import ring_attention
+    from cuda_flashattention_tpu.utils.testing import (
+        assert_close, seeded_random)
+
+    mesh = make_mesh((4,), ("sp",), jax.devices()[:4])
+    b, h, h_kv, n, d = 1, 4, 2, 64, 16
+    q = jnp.asarray(seeded_random((b, h, n, d), seed=71))
+    k = jnp.asarray(seeded_random((b, h_kv, n, d), seed=72))
+    v = jnp.asarray(seeded_random((b, h_kv, n, d), seed=73))
+    do = jnp.asarray(seeded_random((b, h, n, d), seed=74))
+    qs = shard_on_axis(mesh, q, 2, "sp")
+    ks = shard_on_axis(mesh, k, 2, "sp")
+    vs = shard_on_axis(mesh, v, 2, "sp")
+
+    o = ring_attention(qs, ks, vs, mesh=mesh, causal=True)
+    kf = jnp.repeat(k, h // h_kv, axis=1)
+    vf = jnp.repeat(v, h // h_kv, axis=1)
+    o_ref, _ = naive_attention(q, kf, vf, causal=True)
+    assert_close(o, o_ref, 2e-3, name="ring gqa fwd")
+
+    def loss(q, k, v):
+        return jnp.sum(ring_attention(q, k, v, mesh=mesh, causal=True)
+                       .astype(jnp.float32) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+    dq_r, dk_r, dv_r = naive_attention_backward(q, kf, vf, do, causal=True)
+    g = h // h_kv
+    dk_ref = dk_r.reshape(b, h_kv, g, n, d).sum(2)
+    dv_ref = dv_r.reshape(b, h_kv, g, n, d).sum(2)
+    assert_close(dq, dq_r, 2e-3, name="ring gqa dQ")
+    assert_close(dk, dk_ref, 2e-3, name="ring gqa dK")
+    assert_close(dv, dv_ref, 2e-3, name="ring gqa dV")
