@@ -74,14 +74,15 @@ def main() -> None:
             lambda x: decode_attention(x, _k, _v, lengths)[0], dq,
             iters=10)
         decode[f"bf16_ctx{ctx}"] = db / t_bf16
-        kv = quantize_kv(_k, _v, "int8")
-        del _k, _v  # free the bf16 cache before timing int8
-        t = time_chained(
-            lambda x: decode_attention(
-                x, kv.k_q, kv.v_q, lengths, k_scale=kv.k_scale,
-                v_scale=kv.v_scale)[0], dq, iters=10)
-        decode[f"int8_ctx{ctx}"] = db / t
-        del kv
+        for qt in ("int8", "fp8"):
+            kv = quantize_kv(_k, _v, qt)
+            t = time_chained(
+                lambda x: decode_attention(
+                    x, kv.k_q, kv.v_q, lengths, k_scale=kv.k_scale,
+                    v_scale=kv.v_scale)[0], dq, iters=10)
+            decode[f"{qt}_ctx{ctx}"] = db / t
+            del kv
+        del _k, _v
 
     # --- 1M-token context decode, int8 KV (north-star long-context
     # serving point; B=1 so the 4 GB quantized cache fits HBM) ---
