@@ -23,31 +23,32 @@ from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
-def _flash_attention(q, k, v, q_seg, kv_seg, scale, causal, kv_offset,
-                     block_sizes, interpret):
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _flash_attention(q, k, v, q_seg, kv_seg, scale, causal, window,
+                     kv_offset, block_sizes, interpret):
     o, _ = flash_attention_forward(
-        q, k, v, scale=scale, causal=causal, kv_offset=kv_offset,
-        block_sizes=block_sizes, interpret=interpret,
+        q, k, v, scale=scale, causal=causal, window=window,
+        kv_offset=kv_offset, block_sizes=block_sizes, interpret=interpret,
         q_segment_ids=q_seg, kv_segment_ids=kv_seg)
     return o
 
 
-def _fwd(q, k, v, q_seg, kv_seg, scale, causal, kv_offset, block_sizes,
-         interpret):
+def _fwd(q, k, v, q_seg, kv_seg, scale, causal, window, kv_offset,
+         block_sizes, interpret):
     o, lse = flash_attention_forward(
-        q, k, v, scale=scale, causal=causal, kv_offset=kv_offset,
-        block_sizes=block_sizes, interpret=interpret,
+        q, k, v, scale=scale, causal=causal, window=window,
+        kv_offset=kv_offset, block_sizes=block_sizes, interpret=interpret,
         q_segment_ids=q_seg, kv_segment_ids=kv_seg)
     return o, (q, k, v, q_seg, kv_seg, o, lse)
 
 
-def _bwd(scale, causal, kv_offset, block_sizes, interpret, res, do):
+def _bwd(scale, causal, window, kv_offset, block_sizes, interpret, res,
+         do):
     q, k, v, q_seg, kv_seg, o, lse = res
     # GQA runs natively in the backward kernels: the dKdV grid carries a
     # group axis accumulating all query heads that share a KV head.
     dq, dk, dv = flash_attention_backward(
-        q, k, v, o, lse, do, scale=scale, causal=causal,
+        q, k, v, o, lse, do, scale=scale, causal=causal, window=window,
         kv_offset=kv_offset, block_sizes=block_sizes, interpret=interpret,
         q_segment_ids=q_seg, kv_segment_ids=kv_seg)
     # segment ids are integer inputs: no cotangent (None = symbolic zero)
@@ -63,6 +64,7 @@ def flash_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     causal: bool = False,
+    window: int = 0,
     kv_offset: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
@@ -72,13 +74,17 @@ def flash_attention(
     """Differentiable FlashAttention-2: q [B,H,Nq,d], k/v [B,Hkv,Nk,d] → O.
 
     Supports GQA/MQA (Hkv dividing H), causal masking with a global
-    `kv_offset` (for sequence-sharded callers), packed sequences via
+    `kv_offset` (for sequence-sharded callers), sliding-window (local)
+    attention via `window` (each query sees the last `window` keys;
+    off-window KV blocks are skipped, compute AND fetch), packed
+    sequences via
     `q_segment_ids`/`kv_segment_ids` [B, N] (cross-segment attention
     masked, fwd and bwd), bf16/fp32 inputs with fp32 accumulation, and
     arbitrary (non-tile-divisible) sequence lengths.
     """
     return _flash_attention(q, k, v, q_segment_ids, kv_segment_ids, scale,
-                            causal, kv_offset, block_sizes, interpret)
+                            causal, window, kv_offset, block_sizes,
+                            interpret)
 
 
 def mha(

@@ -45,7 +45,7 @@ from cuda_flashattention_tpu.ops.common import (
 
 
 def _mask_scores(s, iq, ik, *, causal, kv_offset, nk_valid, block_q,
-                 block_k, qseg=None, kseg=None):
+                 block_k, window=0, qseg=None, kseg=None):
     """Padding/causal/segment mask from (Bq,1)x(1,Bk) vector operands
     (full-tile int32 iota pairs cost 8 B/elem of VMEM and cap block
     sizes)."""
@@ -59,6 +59,8 @@ def _mask_scores(s, iq, ik, *, causal, kv_offset, nk_valid, block_q,
         row = (jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
                + iq * block_q + kv_offset)
         ok = jnp.logical_and(ok, col <= row)
+        if window:
+            ok = jnp.logical_and(ok, col > row - window)
     if qseg is not None:
         ok = jnp.logical_and(ok, qseg == kseg)  # (Bq,1) == (1,Bk)
     return jnp.where(ok, s, NEG_INF)
@@ -90,6 +92,7 @@ def _bwd_dkdv_kernel(
     nk_valid: int,
     block_q: int,
     block_k: int,
+    window: int,
     segmented: bool,
 ):
     if segmented:
@@ -116,6 +119,11 @@ def _bwd_dkdv_kernel(
     # block's first column.
     q_last = (iq + 1) * block_q - 1 + kv_offset
     block_visible = jnp.logical_or(not causal, ikv * block_k <= q_last)
+    if window:
+        q_first = iq * block_q + kv_offset
+        block_visible = jnp.logical_and(
+            block_visible,
+            ikv * block_k + (block_k - 1) >= q_first - window + 1)
 
     @pl.when(block_visible)
     def _compute():
@@ -132,7 +140,7 @@ def _bwd_dkdv_kernel(
         ) * (scale * _LOG2E)  # (Bq, Bk), log2 units
         s = _mask_scores(s, iq, ikv, causal=causal, kv_offset=kv_offset,
                          nk_valid=nk_valid, block_q=block_q,
-                         block_k=block_k,
+                         block_k=block_k, window=window,
                          qseg=None if not segmented else qseg_ref[0],
                          kseg=None if not segmented else kseg_ref[0])
 
@@ -172,6 +180,7 @@ def _bwd_dq_kernel(
     nk_valid: int,
     block_q: int,
     block_k: int,
+    window: int,
     segmented: bool,
 ):
     if segmented:
@@ -189,6 +198,11 @@ def _bwd_dq_kernel(
 
     q_last = (iq + 1) * block_q - 1 + kv_offset
     block_visible = jnp.logical_or(not causal, ik * block_k <= q_last)
+    if window:
+        q_first = iq * block_q + kv_offset
+        block_visible = jnp.logical_and(
+            block_visible,
+            ik * block_k + (block_k - 1) >= q_first - window + 1)
 
     @pl.when(block_visible)
     def _compute():
@@ -205,7 +219,7 @@ def _bwd_dq_kernel(
         ) * (scale * _LOG2E)  # log2 units
         s = _mask_scores(s, iq, ik, causal=causal, kv_offset=kv_offset,
                          nk_valid=nk_valid, block_q=block_q,
-                         block_k=block_k,
+                         block_k=block_k, window=window,
                          qseg=None if not segmented else qseg_ref[0],
                          kseg=None if not segmented else kseg_ref[0])
 
@@ -229,8 +243,8 @@ def _bwd_dq_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "causal", "kv_offset", "block_sizes",
-                     "interpret"),
+    static_argnames=("scale", "causal", "window", "kv_offset",
+                     "block_sizes", "interpret"),
 )
 def flash_attention_backward(
     q: jnp.ndarray,
@@ -241,6 +255,7 @@ def flash_attention_backward(
     do: jnp.ndarray,
     scale: Optional[float] = None,
     causal: bool = False,
+    window: int = 0,
     kv_offset: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
@@ -282,10 +297,13 @@ def flash_attention_backward(
     nq_p, nk_p = q_p.shape[2], k_p.shape[2]
 
     segmented = q_segment_ids is not None
+    window = int(window or 0)
+    if window and not causal:
+        raise ValueError("window requires causal=True")
     common = dict(
         scale=scale, causal=causal, kv_offset=kv_offset,
         nq_valid=nq, nk_valid=nk, block_q=block_q, block_k=block_k,
-        segmented=segmented,
+        window=window, segmented=segmented,
     )
     seg_inputs = []
     if segmented:
@@ -305,11 +323,23 @@ def flash_attention_backward(
         def q_idx(ikv, iq):
             # first visible Q block for KV block ikv (invisible prefix)
             first = jnp.maximum(0, (ikv * block_k - kv_offset) // block_q)
-            return jnp.maximum(iq, first)
+            iqc = jnp.maximum(iq, first)
+            if window:
+                # with a window, LATE q blocks are invisible too: last
+                # visible q row is (ikv+1)*bk - 1 + window - 1
+                last = ((ikv + 1) * block_k - 2 + window
+                        - kv_offset) // block_q
+                iqc = jnp.minimum(iqc, jnp.maximum(last, first))
+            return iqc
 
         def kv_idx(iq, ik):
-            frontier = ((iq + 1) * block_q - 1 + kv_offset) // block_k
-            return jnp.minimum(ik, frontier)
+            hi = ((iq + 1) * block_q - 1 + kv_offset) // block_k
+            ikc = jnp.minimum(ik, hi)
+            if window:
+                lo = jnp.maximum(
+                    0, (iq * block_q + kv_offset - window + 1) // block_k)
+                ikc = jnp.maximum(ikc, jnp.minimum(lo, hi))
+            return ikc
     else:
         def q_idx(ikv, iq):
             return iq

@@ -56,6 +56,7 @@ _LN2 = 0.6931471805599453
 def _fwd_kernel(
     *refs,  # inputs, outputs, scratch — see unpacking below
     causal: bool,
+    window: int,  # 0 = unbounded; else causal sliding window size
     kv_offset: int,
     nq_valid: int,
     nk_valid: int,
@@ -99,10 +100,17 @@ def _fwd_kernel(
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
     # Causal block-level skip: a KV block whose first column is beyond the
-    # last query row of this Q block contributes nothing.
-    q_last = (iq + 1) * block_q - 1 + kv_offset
+    # last query row of this Q block contributes nothing; with a sliding
+    # window, neither does a block that ends before the FIRST row's
+    # window start.
+    q_first = iq * block_q + kv_offset
+    q_last = q_first + block_q - 1
     block_visible = jnp.logical_or(
         not causal, ik * block_k <= q_last)
+    if window:
+        block_visible = jnp.logical_and(
+            block_visible,
+            ik * block_k + (block_k - 1) >= q_first - window + 1)
 
     @pl.when(block_visible)
     def _compute():
@@ -176,6 +184,8 @@ def _fwd_kernel(
                 row = jax.lax.broadcasted_iota(
                     jnp.int32, (s.shape[0], 1), 0) + iq * block_q + kv_offset
                 ok = jnp.logical_and(ok, col <= row)
+                if window:
+                    ok = jnp.logical_and(ok, col > row - window)
             if segmented:
                 # q ids (Bq,1) vs kv ids (1,Bk) — broadcast compare
                 ok = jnp.logical_and(ok, qseg_ref[0] == kseg_ref[0])
@@ -192,6 +202,12 @@ def _fwd_kernel(
         elif causal:
             straddle = (ik * block_k + (block_k - 1)
                         > iq * block_q + kv_offset)
+            if window:
+                # lower-frontier straddler: block begins before the LAST
+                # row's window start
+                straddle_lo = (ik * block_k
+                               < q_last - window + 1)
+                straddle = straddle | straddle_lo
             needs_mask = straddle
         if not segmented and nk_valid % block_k != 0:
             tail = ik == nk_blocks - 1
@@ -227,8 +243,8 @@ def _fwd_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "scale", "causal", "kv_offset", "block_sizes", "interpret",
-        "out_dtype",
+        "scale", "causal", "window", "kv_offset", "block_sizes",
+        "interpret", "out_dtype",
     ),
 )
 def flash_attention_forward(
@@ -237,6 +253,7 @@ def flash_attention_forward(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     causal: bool = False,
+    window: int = 0,
     kv_offset: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
@@ -275,6 +292,10 @@ def flash_attention_forward(
     segmented = q_segment_ids is not None
     if segmented and kv_segment_ids is None:
         raise ValueError("q_segment_ids given without kv_segment_ids")
+    window = int(window or 0)
+    if window and not causal:
+        raise ValueError("window requires causal=True (causal sliding "
+                         "window attention)")
 
     bs = (block_sizes.clamp(nq, nk) if block_sizes is not None
           else auto_block_sizes(nq, nk, d, causal=causal))
@@ -291,6 +312,7 @@ def flash_attention_forward(
     kernel = functools.partial(
         _fwd_kernel,
         causal=causal,
+        window=window,
         kv_offset=kv_offset,
         nq_valid=nq,
         nk_valid=nk,
@@ -307,8 +329,15 @@ def flash_attention_forward(
     # those steps is already skipped by @pl.when(block_visible)).
     if causal:
         def kv_block_idx(iq, ik):
-            frontier = ((iq + 1) * block_q - 1 + kv_offset) // block_k
-            return jnp.minimum(ik, frontier)
+            hi = ((iq + 1) * block_q - 1 + kv_offset) // block_k
+            ikc = jnp.minimum(ik, hi)
+            if window:
+                # blocks before the window's lower frontier are skipped
+                # too — clamp from below so their DMAs also dedupe
+                lo = jnp.maximum(
+                    0, (iq * block_q + kv_offset - window + 1) // block_k)
+                ikc = jnp.maximum(ikc, jnp.minimum(lo, hi))
+            return ikc
     else:
         def kv_block_idx(iq, ik):
             return ik

@@ -32,6 +32,7 @@ def naive_attention(
     v,
     scale: Optional[float] = None,
     causal: bool = False,
+    window: int = 0,
     kv_offset: int = 0,
     q_segment_ids=None,
     kv_segment_ids=None,
@@ -59,6 +60,8 @@ def naive_attention(
         qi = jnp.arange(nq)[:, None] + kv_offset
         kj = jnp.arange(nk)[None, :]
         s = jnp.where(kj <= qi, s, -jnp.inf)
+        if window:
+            s = jnp.where(kj > qi - window, s, -jnp.inf)
     if q_segment_ids is not None:
         # packed sequences: [B, Nq]/[B, Nk] ids; cross-segment pairs masked
         qs = jnp.asarray(q_segment_ids)[:, None, :, None]  # [B,1,Nq,1]
@@ -82,6 +85,7 @@ def naive_attention_backward(
     do,
     scale: Optional[float] = None,
     causal: bool = False,
+    window: int = 0,
     kv_offset: int = 0,
     q_segment_ids=None,
     kv_segment_ids=None,
@@ -106,6 +110,8 @@ def naive_attention_backward(
         qi = jnp.arange(nq)[:, None] + kv_offset
         kj = jnp.arange(nk)[None, :]
         s = jnp.where(kj <= qi, s, -jnp.inf)
+        if window:
+            s = jnp.where(kj > qi - window, s, -jnp.inf)
     if q_segment_ids is not None:
         qs = jnp.asarray(q_segment_ids)[:, None, :, None]
         ks = jnp.asarray(kv_segment_ids)[:, None, None, :]
