@@ -47,6 +47,7 @@ def _decode_kernel(
     block_k: int,
     quantized: bool,
     group: int,
+    window: int,  # 0 = attend whole live context; else last `window` toks
 ):
     if quantized:
         (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
@@ -66,7 +67,14 @@ def _decode_kernel(
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    @pl.when(ik * block_k < length)
+    visible = ik * block_k < length
+    if window:
+        # skip blocks wholly before the window start (their DMA is also
+        # deduped by the clamped index map below)
+        visible = jnp.logical_and(
+            visible, (ik + 1) * block_k - 1 >= length - window)
+
+    @pl.when(visible)
     def _compute():
         q = q_ref[0, 0]  # (G, d)
         cd = q.dtype
@@ -81,9 +89,14 @@ def _decode_kernel(
         ) * scale  # (G, Bk)
         if quantized:
             s = s * k_scale_ref[0, 0]
-        # mask the tail of the last valid block (dynamic length)
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-        s = jnp.where(col + ik * block_k < length, s, NEG_INF)
+        # mask the tail of the last valid block (dynamic length) and,
+        # with a window, the stale prefix of the first visible block
+        col = (jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+               + ik * block_k)
+        ok = col < length
+        if window:
+            ok = jnp.logical_and(ok, col >= length - window)
+        s = jnp.where(ok, s, NEG_INF)
 
         m_prev = m_s[:, :1]
         m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -112,7 +125,7 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "block_k", "interpret"),
+    static_argnames=("scale", "block_k", "window", "interpret"),
 )
 def decode_attention(
     q: jnp.ndarray,
@@ -123,9 +136,14 @@ def decode_attention(
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     block_k: int = 8192,
+    window: int = 0,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decode step: q [B,H,d] attends to cache k/v [B,Hkv,max_N,d].
+
+    `window` > 0 restricts attention to the last `window` live tokens
+    (sliding-window serving); off-window cache blocks are neither fetched
+    nor computed.
 
     `lengths` [B] int32 gives each sequence's live context; cache rows at
     or beyond a sequence's length are never read (clamped index maps) nor
@@ -160,13 +178,21 @@ def decode_attention(
 
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
 
-    def kv_index(bb, hh, ik, len_ref):
+    window = int(window or 0)
+
+    def clamp_ik(ik, len_ref, bb):
         last = jnp.maximum(pl.cdiv(len_ref[bb], block_k) - 1, 0)
-        return (bb, hh, jnp.minimum(ik, last), 0)
+        ikc = jnp.minimum(ik, last)
+        if window:
+            first = jnp.maximum(0, (len_ref[bb] - window) // block_k)
+            ikc = jnp.maximum(ikc, jnp.minimum(first, last))
+        return ikc
+
+    def kv_index(bb, hh, ik, len_ref):
+        return (bb, hh, clamp_ik(ik, len_ref, bb), 0)
 
     def scale_index(bb, hh, ik, len_ref):
-        last = jnp.maximum(pl.cdiv(len_ref[bb], block_k) - 1, 0)
-        return (bb, hh, 0, jnp.minimum(ik, last))
+        return (bb, hh, 0, clamp_ik(ik, len_ref, bb))
 
     in_specs = [
         pl.BlockSpec((1, 1, g_pad, d), lambda bb, hh, ik, len_ref: (bb, hh, 0, 0)),
@@ -183,7 +209,7 @@ def decode_attention(
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_k=block_k,
-        quantized=quantized, group=group)
+        quantized=quantized, group=group, window=window)
 
     o, lse = pl.pallas_call(
         kernel,

@@ -80,3 +80,32 @@ def test_window_with_segments():
     r, _ = naive_attention(q, k, v, causal=True, window=10,
                            q_segment_ids=seg, kv_segment_ids=seg)
     assert_close(o, r, 1e-3, name="window+segments")
+
+
+@pytest.mark.parametrize("qtype", [None, "int8"])
+def test_windowed_decode(qtype):
+    """Decode over a cache with a sliding window == oracle over only the
+    last `window` live tokens."""
+    from cuda_flashattention_tpu.ops.decode import decode_attention
+    from cuda_flashattention_tpu.ops.quant import quantize_kv
+    b, h, max_n, d = 2, 2, 64, 16
+    length, window = 50, 20
+    q = jnp.asarray(seeded_random((b, h, d), seed=121))
+    k = jnp.asarray(seeded_random((b, h, max_n, d), seed=122))
+    v = jnp.asarray(seeded_random((b, h, max_n, d), seed=123))
+    lengths = jnp.full((b,), length, jnp.int32)
+    kw = {}
+    kf, vf = k, v
+    if qtype:
+        kv = quantize_kv(k, v, qtype)
+        kf, vf = kv.k_q, kv.v_q
+        kw = dict(k_scale=kv.k_scale, v_scale=kv.v_scale)
+    o, lse = decode_attention(q, kf, vf, lengths, window=window,
+                              block_k=16, **kw)
+    lo = length - window
+    r, rl = naive_attention(q[:, :, None], k[:, :, lo:length],
+                            v[:, :, lo:length])
+    tol = 3e-3 if qtype else 1e-3
+    assert_close(o, r[:, :, 0], tol, name=f"windowed decode {qtype}")
+    if not qtype:
+        assert_close(lse, rl[:, :, 0], 1e-3, name="windowed decode lse")
