@@ -61,18 +61,20 @@ def _decode_kernel(
     nblk = pl.num_programs(2)
     length = len_ref[b]
 
-    @pl.when(ik == 0)
+    if window:
+        # windowed: the GRID only spans ceil(window/bk)+1 blocks; each
+        # step addresses absolute cache block first+ik (the host's index
+        # maps use the same offset), so work is O(window) not O(max_len)
+        first = jnp.maximum(0, (length - window) // block_k)
+        ik = first + ik
+
+    @pl.when(pl.program_id(2) == 0)
     def _init():
         m_s[...] = jnp.full_like(m_s, NEG_INF)
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
     visible = ik * block_k < length
-    if window:
-        # skip blocks wholly before the window start (their DMA is also
-        # deduped by the clamped index map below)
-        visible = jnp.logical_and(
-            visible, (ik + 1) * block_k - 1 >= length - window)
 
     @pl.when(visible)
     def _compute():
@@ -114,7 +116,7 @@ def _decode_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    @pl.when(ik == nblk - 1)
+    @pl.when(pl.program_id(2) == nblk - 1)
     def _epilogue():
         l = l_s[:, :1]
         l_safe = jnp.where(l == 0.0, 1.0, l)
@@ -175,6 +177,10 @@ def decode_attention(
     v_p = pad_to_block(v, 2, block_k)
     max_np = k_p.shape[2]
     nblk = max_np // block_k
+    if window:
+        # the window spans at most this many blocks (one straddler each
+        # side); the kernel offsets to the right absolute blocks
+        nblk = min(nblk, cdiv(window, block_k) + 1)
 
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
 
@@ -182,11 +188,10 @@ def decode_attention(
 
     def clamp_ik(ik, len_ref, bb):
         last = jnp.maximum(pl.cdiv(len_ref[bb], block_k) - 1, 0)
-        ikc = jnp.minimum(ik, last)
         if window:
-            first = jnp.maximum(0, (len_ref[bb] - window) // block_k)
-            ikc = jnp.maximum(ikc, jnp.minimum(first, last))
-        return ikc
+            # grid index is window-relative; offset to the absolute block
+            ik = jnp.maximum(0, (len_ref[bb] - window) // block_k) + ik
+        return jnp.minimum(ik, last)
 
     def kv_index(bb, hh, ik, len_ref):
         return (bb, hh, clamp_ik(ik, len_ref, bb), 0)
