@@ -46,6 +46,7 @@ class TransformerConfig:
     d_ff: int = 1408
     max_seq: int = 2048
     rope_theta: float = 10000.0
+    window: int = 0  # 0 = full causal; else sliding-window attention
     dtype: Any = jnp.bfloat16
 
     @property
@@ -133,7 +134,7 @@ def _attention_block(layer: Params, x: jnp.ndarray, cfg: TransformerConfig,
                            causal=True, batch_axis=batch_axis,
                            head_axis=head_axis, block_sizes=block_sizes)
     else:
-        o = flash_attention(qt, kt, vt, causal=True,
+        o = flash_attention(qt, kt, vt, causal=True, window=cfg.window,
                             block_sizes=block_sizes)
     o = o.transpose(0, 2, 1, 3).reshape(b, t, cfg.d_q)
     return x + (o @ layer["wo"]).astype(x.dtype)
@@ -239,7 +240,8 @@ def prefill(params: Params, tokens: jnp.ndarray, cfg: TransformerConfig,
         new_caches.append(cache)
         o = flash_attention(
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), causal=True, block_sizes=block_sizes)
+            v.transpose(0, 2, 1, 3), causal=True, window=cfg.window,
+            block_sizes=block_sizes)
         o = o.transpose(0, 2, 1, 3).reshape(b, t, cfg.d_q)
         x = x + (o @ layer["wo"]).astype(x.dtype)
         x = _mlp_block(layer, x)
@@ -262,6 +264,10 @@ def prefill_chunk(params: Params, tokens: jnp.ndarray, start: int,
     from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
     from cuda_flashattention_tpu.parallel.ring import combine_partials
 
+    if cfg.window:
+        raise NotImplementedError(
+            "chunked prefill with sliding-window attention is not wired "
+            "yet — use prefill() (whole-prompt), which honours cfg.window")
     b, c = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)
     positions = jnp.arange(start, start + c)
@@ -340,7 +346,7 @@ def decode_one(params: Params, token: jnp.ndarray, position,
                              v.transpose(0, 2, 1, 3))
         new_caches.append(cache)
         o, _ = decode_step(q[:, 0].transpose(0, 1, 2).reshape(
-            b, cfg.n_heads, cfg.d_head), cache)
+            b, cfg.n_heads, cfg.d_head), cache, window=cfg.window)
         x = x + (o.reshape(b, cfg.d_q) @ layer["wo"]).astype(x.dtype)
         x = _mlp_block(layer, x[:, None, :])[:, 0]
     x = rms_norm(x, params["final_norm"])

@@ -106,6 +106,7 @@ def decode_step(
     cache: KVCache,
     scale: Optional[float] = None,
     block_k: int = 2048,
+    window: int = 0,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Attend one new query token q [B,H,d] against the live cache.
@@ -118,4 +119,4 @@ def decode_step(
     return decode_attention(
         q, cache.k, cache.v, lengths,
         k_scale=cache.k_scale, v_scale=cache.v_scale,
-        scale=scale, block_k=block_k, interpret=interpret)
+        scale=scale, block_k=block_k, window=window, interpret=interpret)

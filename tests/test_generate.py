@@ -113,3 +113,22 @@ def test_chunked_prefill_quantized_cache(setup):
     # greedy decision must survive it
     assert jnp.max(jnp.abs(logits_exact - logits_q)) < 0.3
     assert (jnp.argmax(logits_exact, -1) == jnp.argmax(logits_q, -1)).all()
+
+
+def test_sliding_window_model_generates():
+    """SWA config: cached generation matches the teacher-forced windowed
+    forward exactly (greedy, fp32)."""
+    import dataclasses
+    from cuda_flashattention_tpu.models.transformer import forward
+    cfg = dataclasses.replace(CFG, window=6)
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (2, 7), 0,
+                                cfg.vocab_size)
+    n_new = 5
+    toks = prompt
+    for _ in range(n_new):
+        logits = forward(params, toks, cfg)
+        nxt = jnp.argmax(logits[:, -1], -1).astype(toks.dtype)
+        toks = jnp.concatenate([toks, nxt[:, None]], axis=1)
+    out, _ = generate(params, prompt, cfg, max_new_tokens=n_new)
+    assert (out == toks).all(), f"{out} vs {toks}"
