@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Callable, Dict
+from typing import Dict
 
 
 @dataclasses.dataclass(frozen=True)

@@ -128,6 +128,11 @@ def _attention_block(layer: Params, x: jnp.ndarray, cfg: TransformerConfig,
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     if mesh is not None and seq_axis is not None:
+        if cfg.window:
+            raise NotImplementedError(
+                "sliding-window attention over the ring/sequence-parallel "
+                "path is not wired yet — train windowed models single-chip "
+                "or with dp/tp only")
         # sequence-parallel training path: ring attention over the mesh
         # (GQA handled natively by the flash kernels inside the ring)
         o = ring_attention(qt, kt, vt, mesh, axis_name=seq_axis,

@@ -105,7 +105,7 @@ def decode_step(
     q: jnp.ndarray,
     cache: KVCache,
     scale: Optional[float] = None,
-    block_k: int = 2048,
+    block_k: int = 8192,
     window: int = 0,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -27,12 +27,12 @@ from typing import Optional, Tuple
 
 import numpy as np
 
+from cuda_flashattention_tpu import config as _config
+
 _SRC = os.path.join(os.path.dirname(os.path.dirname(
     os.path.dirname(os.path.abspath(__file__)))), "csrc",
     "naive_attention.cpp")
-_CACHE_DIR = os.environ.get(
-    "CFA_NATIVE_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "cfa_tpu"))
+_CACHE_DIR = _config.NATIVE_CACHE()
 
 
 class NativeBuildError(RuntimeError):

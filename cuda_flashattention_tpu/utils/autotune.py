@@ -38,10 +38,9 @@ from cuda_flashattention_tpu.ops.common import (
 )
 from cuda_flashattention_tpu.utils.timing import time_chained
 
-_CACHE_PATH = os.environ.get(
-    "CFA_AUTOTUNE_CACHE",
-    os.path.join(os.path.expanduser("~"), ".cache", "cfa_tpu",
-                 "autotune.json"))
+from cuda_flashattention_tpu import config as _config
+
+_CACHE_PATH = _config.AUTOTUNE_CACHE()
 _MEM_CACHE: dict = {}
 
 
@@ -64,17 +63,20 @@ def _disk_cache_store(cache: dict) -> None:
 
 def candidate_blocks(
     nq: int, nk: int, d: int, causal: bool = False,
-    vmem_budget: int = 64 * 2**20,
+    vmem_budget: int = 52 * 2**20,
 ) -> List[Tuple[int, int]]:
     """Enumerate (block_q, block_k) pairs that respect the VMEM model
-    (same cost terms as ops.common.auto_block_sizes) and TPU tiling."""
-    qs = [128, 256, 512, 1024]
-    ks = [256, 512, 1024, 2048, 4096]
+    (same cost terms and budget as ops.common.auto_block_sizes — the
+    bool-mask term for causal, the kernels' 64 MiB scoped limit minus
+    pipeline headroom) and TPU tiling. Includes the measured-best
+    (2048, 2048) point on v5e d=128."""
+    qs = [256, 512, 1024, 2048]
+    ks = [512, 1024, 2048, 4096]
     out = []
     for bq, bk in itertools.product(qs, ks):
         if bq > round_up(nq, 8) or bk > round_up(nk, 8):
             continue
-        s_bytes = bq * bk * (8 + (8 if causal else 0))
+        s_bytes = bq * bk * (8 + (2 if causal else 0))
         kv_bytes = 2 * 2 * bk * d * 2
         fixed = bq * d * 6 + 2 * bq * 128 * 4
         if s_bytes + kv_bytes + fixed <= vmem_budget:

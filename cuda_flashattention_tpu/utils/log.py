@@ -27,7 +27,8 @@ _CONFIGURED = False
 
 class _ProcessFilter(logging.Filter):
     def filter(self, record: logging.LogRecord) -> bool:
-        if os.environ.get("CFA_LOG_ALL_PROCS", "0") == "1":
+        from cuda_flashattention_tpu import config
+        if config.LOG_ALL_PROCS.as_bool:
             return True
         return _process_index() == 0
 
@@ -55,9 +56,10 @@ def _configure() -> None:
         "[p%(proc)d] %(asctime)s %(levelname)s %(name)s: %(message)s",
         datefmt="%H:%M:%S"))
     handler.addFilter(_ProcessFilter())
+    from cuda_flashattention_tpu import config
     root = logging.getLogger("cuda_flashattention_tpu")
     root.addHandler(handler)
-    root.setLevel(os.environ.get("CFA_LOG_LEVEL", "INFO").upper())
+    root.setLevel(config.LOG_LEVEL().upper())
     root.propagate = False
     _CONFIGURED = True
 

@@ -46,10 +46,12 @@ D, SCALE = 64, 1.0
 def main() -> int:
     _, devices = _common.bootstrap()
     n_dev = len(devices)
-    if SEQ % n_dev != 0:
-        print(f"seq {SEQ} % devices {n_dev} != 0 — the reference aborts "
-              f"here (:56-63); we just pick the largest divisor count")
-    mesh = make_mesh((n_dev,), ("sp",), devices)
+    while SEQ % n_dev != 0:
+        n_dev -= 1  # degrade to the largest device count dividing SEQ
+    if n_dev != len(devices):
+        print(f"seq {SEQ} % devices {len(devices)} != 0 — the reference "
+              f"aborts here (:56-63); using {n_dev} devices instead")
+    mesh = make_mesh((n_dev,), ("sp",), devices[:n_dev])
 
     q = jnp.asarray(seeded_random((1, 1, SEQ, D), seed=42)) * 0.1
     k = jnp.asarray(seeded_random((1, 1, SEQ, D), seed=43)) * 0.1

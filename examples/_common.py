@@ -19,12 +19,14 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_ON_TPU = os.environ.get("CFA_EXAMPLES_TPU", "0") == "1"
-_MULTIPROC = "CFA_COORD" in os.environ
+from cuda_flashattention_tpu import config  # imports no jax — safe here
+
+_ON_TPU = config.EXAMPLES_TPU.as_bool
+_MULTIPROC = bool(config.COORD())
 
 if not _ON_TPU and not _MULTIPROC:
     # one process, N virtual CPU devices (SURVEY.md §4 "TPU translation")
-    n = os.environ.get("CFA_VIRTUAL_DEVICES", "8")
+    n = config.VIRTUAL_DEVICES()
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
@@ -46,9 +48,9 @@ def bootstrap():
         from cuda_flashattention_tpu.parallel.mesh import (
             initialize_distributed)
         initialize_distributed(
-            coordinator_address=os.environ["CFA_COORD"],
-            num_processes=int(os.environ["CFA_NPROC"]),
-            process_id=int(os.environ["CFA_PID"]),
+            coordinator_address=config.COORD(),
+            num_processes=config.NPROC.as_int,
+            process_id=config.PID.as_int,
         )
     return jax.process_index(), jax.devices()
 

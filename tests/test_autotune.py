@@ -13,10 +13,12 @@ from cuda_flashattention_tpu.utils import autotune
 def test_candidates_respect_vmem_budget():
     cands = autotune.candidate_blocks(16384, 16384, 128, causal=True)
     assert cands, "no candidates generated"
+    # the measured-best v5e config must be in the candidate space
+    assert (2048, 2048) in cands
     for bq, bk in cands:
-        s = bq * bk * 16
+        s = bq * bk * 10  # fp32 S+P + bool mask (causal)
         kv = 4 * bk * 128 * 2
-        assert s + kv <= 64 * 2**20
+        assert s + kv <= 52 * 2**20
 
 
 def test_candidates_shrink_to_problem():
