@@ -128,15 +128,12 @@ def _attention_block(layer: Params, x: jnp.ndarray, cfg: TransformerConfig,
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
     if mesh is not None and seq_axis is not None:
-        if cfg.window:
-            raise NotImplementedError(
-                "sliding-window attention over the ring/sequence-parallel "
-                "path is not wired yet — train windowed models single-chip "
-                "or with dp/tp only")
         # sequence-parallel training path: ring attention over the mesh
-        # (GQA handled natively by the flash kernels inside the ring)
+        # (GQA handled natively by the flash kernels inside the ring; a
+        # sliding window terminates the ring after ceil(W/L)+1 hops)
         o = ring_attention(qt, kt, vt, mesh, axis_name=seq_axis,
-                           causal=True, batch_axis=batch_axis,
+                           causal=True, window=cfg.window,
+                           batch_axis=batch_axis,
                            head_axis=head_axis, block_sizes=block_sizes)
     else:
         o = flash_attention(qt, kt, vt, causal=True, window=cfg.window,

@@ -63,14 +63,18 @@ def combine_partials(o1, lse1, o2, lse2):
     return o1 * w1 + o2 * w2, lse
 
 
-def _step_fwd(q, k, v, kv_idx, my_idx, *, scale, causal, block_sizes,
-              interpret):
+def _step_fwd(q, k, v, kv_idx, my_idx, *, scale, causal, window, step,
+              shard_len, block_sizes, interpret):
     """One ring step's local attention with causal block dispatch.
 
     For equal sequence shards, global causality reduces to three static
     cases (so masks stay compile-time): KV block strictly behind the Q
-    shard → full attention; same block → local causal; strictly ahead →
-    skip (zero output, −inf LSE)."""
+    shard → full attention (bounded below by the sliding window when one
+    is set: the global window constraint col > row − W maps exactly onto
+    the kernel's causal+window mask with kv_offset = step·L, since at
+    ring distance `step` every local column sits step·L before the local
+    row); same block → local causal (windowed); strictly ahead → skip
+    (zero output, −inf LSE)."""
     kw = dict(scale=scale, block_sizes=block_sizes, interpret=interpret,
               out_dtype=jnp.float32)
 
@@ -78,10 +82,15 @@ def _step_fwd(q, k, v, kv_idx, my_idx, *, scale, causal, block_sizes,
         return flash_attention_forward(q, k, v, causal=False, **kw)
 
     def full_fn(args):
+        if window:
+            return flash_attention_forward(
+                *args, causal=True, window=window,
+                kv_offset=step * shard_len, **kw)
         return flash_attention_forward(*args, causal=False, **kw)
 
     def diag_fn(args):
-        return flash_attention_forward(*args, causal=True, **kw)
+        return flash_attention_forward(*args, causal=True, window=window,
+                                       **kw)
 
     def skip_fn(args):
         qq = args[0]
@@ -95,7 +104,7 @@ def _step_fwd(q, k, v, kv_idx, my_idx, *, scale, causal, block_sizes,
 
 
 def _step_bwd(q, k, v, o, lse, do, kv_idx, my_idx, *, scale, causal,
-              block_sizes, interpret):
+              window, step, shard_len, block_sizes, interpret):
     """One ring step's gradient partials (vs the global LSE)."""
     kw = dict(scale=scale, block_sizes=block_sizes, interpret=interpret)
 
@@ -104,10 +113,15 @@ def _step_bwd(q, k, v, o, lse, do, kv_idx, my_idx, *, scale, causal,
                                         **kw)
 
     def full_fn(args):
+        if window:
+            return flash_attention_backward(
+                *args, causal=True, window=window,
+                kv_offset=step * shard_len, **kw)
         return flash_attention_backward(*args, causal=False, **kw)
 
     def diag_fn(args):
-        return flash_attention_backward(*args, causal=True, **kw)
+        return flash_attention_backward(*args, causal=True, window=window,
+                                        **kw)
 
     def skip_fn(args):
         qq, kk, vv = args[0], args[1], args[2]
@@ -120,11 +134,24 @@ def _step_bwd(q, k, v, o, lse, do, kv_idx, my_idx, *, scale, causal,
 
 
 def _make_ring_local(axis_name: str, n_shards: int, scale: float,
-                     causal: bool, block_sizes, interpret):
+                     causal: bool, window: int, shard_len: int,
+                     block_sizes, interpret):
     """Build the per-shard ring function (runs inside shard_map)."""
     # Send to the next rank, receive from the previous — the same ring
     # orientation as the reference (ref: nccl_utils.h:115-121).
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+
+    # Sliding window: a window of W tokens reaches back at most
+    # ceil(W/L) shards, so the ring terminates after that many hops —
+    # ring traffic AND compute scale with the window, not the context.
+    if causal and window:
+        max_steps = min(n_shards, -(-window // shard_len) + 1)
+    else:
+        max_steps = n_shards
+    # after max_steps-1 rotations, rank i holds the accumulator for KV
+    # shard (i - max_steps + 1); one permute sends it home
+    perm_home = [(i, (i - (max_steps - 1)) % n_shards)
+                 for i in range(n_shards)]
 
     @jax.custom_vjp
     def ring_local(q, k, v):
@@ -136,23 +163,24 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
         o = None
         lse = None
         k_cur, v_cur = k, v
-        for step in range(n_shards):
+        for step in range(max_steps):
             # Issue next shard's transfer BEFORE this step's compute —
             # they are independent, so XLA overlaps the collective-permute
             # with the kernel (the reference emulates this with dual CUDA
             # streams, ref: ring_attention_kernel.cu:192-218).
-            if step < n_shards - 1:
+            if step < max_steps - 1:
                 k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
                 v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
             kv_idx = (my_idx - step) % n_shards
             o_s, lse_s = _step_fwd(
                 q, k_cur, v_cur, kv_idx, my_idx, scale=scale, causal=causal,
+                window=window, step=step, shard_len=shard_len,
                 block_sizes=block_sizes, interpret=interpret)
             if o is None:
                 o, lse = o_s, lse_s
             else:
                 o, lse = combine_partials(o, lse, o_s, lse_s)
-            if step < n_shards - 1:
+            if step < max_steps - 1:
                 k_cur, v_cur = k_nxt, v_nxt
         return o, lse
 
@@ -167,23 +195,26 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
         dk_cur = jnp.zeros(k.shape, jnp.float32)
         dv_cur = jnp.zeros(v.shape, jnp.float32)
         k_cur, v_cur = k, v
-        for step in range(n_shards):
+        for step in range(max_steps):
             kv_idx = (my_idx - step) % n_shards
             dq_s, dk_s, dv_s = _step_bwd(
                 q, k_cur, v_cur, o, lse, do, kv_idx, my_idx, scale=scale,
-                causal=causal, block_sizes=block_sizes, interpret=interpret)
+                causal=causal, window=window, step=step,
+                shard_len=shard_len, block_sizes=block_sizes,
+                interpret=interpret)
             dq = dq + dq_s.astype(jnp.float32)
             dk_cur = dk_cur + dk_s.astype(jnp.float32)
             dv_cur = dv_cur + dv_s.astype(jnp.float32)
-            if step < n_shards - 1:
+            if step < max_steps - 1:
                 # dK/dV accumulators travel WITH their KV block.
                 k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
                 v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
                 dk_cur = jax.lax.ppermute(dk_cur, axis_name, perm)
                 dv_cur = jax.lax.ppermute(dv_cur, axis_name, perm)
-        # One final hop brings each accumulated dK/dV shard home.
-        dk_home = jax.lax.ppermute(dk_cur, axis_name, perm)
-        dv_home = jax.lax.ppermute(dv_cur, axis_name, perm)
+        # One final permute sends each accumulated dK/dV shard home
+        # (a single hop when the ring ran full circle).
+        dk_home = jax.lax.ppermute(dk_cur, axis_name, perm_home)
+        dv_home = jax.lax.ppermute(dv_cur, axis_name, perm_home)
         return (dq.astype(q.dtype), dk_home.astype(k.dtype),
                 dv_home.astype(v.dtype))
 
@@ -199,6 +230,7 @@ def ring_attention(
     axis_name: str = "sp",
     scale: Optional[float] = None,
     causal: bool = False,
+    window: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     batch_axis: Optional[str] = None,
@@ -226,10 +258,14 @@ def ring_attention(
     if h % k.shape[1] != 0:
         raise ValueError(f"q heads {h} not a multiple of kv heads "
                          f"{k.shape[1]}")
+    window = int(window or 0)
+    if window and not causal:
+        raise ValueError("window requires causal=True")
     scale = resolve_scale(scale, d)
 
     ring_local = _make_ring_local(axis_name, n_shards, scale, causal,
-                                  block_sizes, interpret)
+                                  window, n // n_shards, block_sizes,
+                                  interpret)
     spec = P(batch_axis, head_axis, axis_name, None)
     f = jax.shard_map(ring_local, mesh=mesh, in_specs=(spec, spec, spec),
                       out_specs=spec, check_vma=False)

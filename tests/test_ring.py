@@ -185,3 +185,45 @@ def test_ring_gqa():
     assert_close(dq, dq_r, 2e-3, name="ring gqa dQ")
     assert_close(dk, dk_ref, 2e-3, name="ring gqa dK")
     assert_close(dv, dv_ref, 2e-3, name="ring gqa dV")
+
+
+def test_ring_sliding_window():
+    """Windowed ring: the ring terminates after ceil(W/L)+1 hops and the
+    result matches the windowed oracle — fwd and bwd."""
+    import jax
+    import jax.numpy as jnp
+    from cuda_flashattention_tpu.ops.naive import (
+        naive_attention, naive_attention_backward)
+    from cuda_flashattention_tpu.parallel.mesh import make_mesh, shard_on_axis
+    from cuda_flashattention_tpu.parallel.ring import ring_attention
+    from cuda_flashattention_tpu.utils.testing import (
+        assert_close, seeded_random)
+
+    mesh = make_mesh((4,), ("sp",), jax.devices()[:4])
+    b, h, n, d = 1, 2, 64, 16  # L = 16 per shard
+    q = jnp.asarray(seeded_random((b, h, n, d), seed=141))
+    k = jnp.asarray(seeded_random((b, h, n, d), seed=142))
+    v = jnp.asarray(seeded_random((b, h, n, d), seed=143))
+    do = jnp.asarray(seeded_random((b, h, n, d), seed=144))
+    qs = shard_on_axis(mesh, q, 2, "sp")
+    ks = shard_on_axis(mesh, k, 2, "sp")
+    vs = shard_on_axis(mesh, v, 2, "sp")
+
+    for window in (10, 20, 40):  # spans 1, 2, and 3+ shards
+        o = ring_attention(qs, ks, vs, mesh=mesh, causal=True,
+                           window=window)
+        o_ref, _ = naive_attention(q, k, v, causal=True, window=window)
+        assert_close(o, o_ref, 2e-3, name=f"ring win{window} fwd")
+
+        def loss(q, k, v, w=window):
+            return jnp.sum(ring_attention(q, k, v, mesh=mesh, causal=True,
+                                          window=w).astype(jnp.float32)
+                           * do)
+
+        dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+        dq_r, dk_r, dv_r = naive_attention_backward(q, k, v, do,
+                                                    causal=True,
+                                                    window=window)
+        assert_close(dq, dq_r, 2e-3, name=f"ring win{window} dQ")
+        assert_close(dk, dk_r, 2e-3, name=f"ring win{window} dK")
+        assert_close(dv, dv_r, 2e-3, name=f"ring win{window} dV")
