@@ -1,0 +1,71 @@
+"""Ulysses (all-to-all) sequence parallelism vs the oracle and vs the
+ring — both strategies must agree on the same inputs."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cuda_flashattention_tpu.ops.naive import (
+    naive_attention,
+    naive_attention_backward,
+)
+from cuda_flashattention_tpu.parallel.mesh import make_mesh, shard_on_axis
+from cuda_flashattention_tpu.parallel.ring import ring_attention
+from cuda_flashattention_tpu.parallel.ulysses import ulysses_attention
+from cuda_flashattention_tpu.utils.testing import assert_close, seeded_random
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = make_mesh((4,), ("sp",), jax.devices()[:4])
+    b, h, n, d = 1, 4, 64, 16
+    q = jnp.asarray(seeded_random((b, h, n, d), seed=151))
+    k = jnp.asarray(seeded_random((b, h, n, d), seed=152))
+    v = jnp.asarray(seeded_random((b, h, n, d), seed=153))
+    qs = shard_on_axis(mesh, q, 2, "sp")
+    ks = shard_on_axis(mesh, k, 2, "sp")
+    vs = shard_on_axis(mesh, v, 2, "sp")
+    return mesh, (q, k, v), (qs, ks, vs)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_vs_oracle(setup, causal):
+    mesh, (q, k, v), (qs, ks, vs) = setup
+    o = ulysses_attention(qs, ks, vs, mesh=mesh, causal=causal)
+    o_ref, _ = naive_attention(q, k, v, causal=causal)
+    assert_close(o, o_ref, 2e-3, name=f"ulysses causal={causal}")
+
+
+def test_ulysses_vs_ring(setup):
+    mesh, _, (qs, ks, vs) = setup
+    o_u = ulysses_attention(qs, ks, vs, mesh=mesh, causal=True)
+    o_r = ring_attention(qs, ks, vs, mesh=mesh, causal=True)
+    assert_close(o_u, o_r, 1e-4, name="ulysses vs ring")
+
+
+def test_ulysses_window(setup):
+    mesh, (q, k, v), (qs, ks, vs) = setup
+    o = ulysses_attention(qs, ks, vs, mesh=mesh, causal=True, window=20)
+    o_ref, _ = naive_attention(q, k, v, causal=True, window=20)
+    assert_close(o, o_ref, 2e-3, name="ulysses window")
+
+
+def test_ulysses_grad(setup):
+    mesh, (q, k, v), (qs, ks, vs) = setup
+    do = jnp.asarray(seeded_random(q.shape, seed=154))
+
+    def loss(q, k, v):
+        o = ulysses_attention(q, k, v, mesh=mesh, causal=True)
+        return jnp.sum(o.astype(jnp.float32) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(qs, ks, vs)
+    dq_r, dk_r, dv_r = naive_attention_backward(q, k, v, do, causal=True)
+    assert_close(dq, dq_r, 2e-3, name="ulysses dQ")
+    assert_close(dk, dk_r, 2e-3, name="ulysses dK")
+    assert_close(dv, dv_r, 2e-3, name="ulysses dV")
+
+
+def test_ulysses_rejects_indivisible_heads(setup):
+    mesh, _, (qs, ks, vs) = setup
+    with pytest.raises(ValueError):
+        ulysses_attention(qs[:, :3], ks, vs, mesh=mesh)
