@@ -356,6 +356,42 @@ def decode_one(params: Params, token: jnp.ndarray, position,
     return logits, tuple(new_caches)
 
 
+def pipeline_forward(
+    params: Params,
+    tokens: jnp.ndarray,
+    cfg: TransformerConfig,
+    mesh: Mesh,
+    n_micro: int,
+    pp_axis: str = "pp",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Causal LM forward with the layer stack run as a GPipe pipeline
+    over `pp_axis` (parallel/pipeline.py): stage s holds layers
+    [s·L/S, (s+1)·L/S); embedding/unembedding stay replicated. Equals
+    `forward` exactly; composes with a dp `batch_axis`."""
+    from cuda_flashattention_tpu.parallel.pipeline import (
+        gpipe_spmd, stack_stage_params)
+
+    b, t = tokens.shape
+    x = params["embed"][tokens].astype(cfg.dtype)
+    positions = jnp.arange(t)
+    stacked = stack_stage_params(params["layers"])
+
+    def stage_fn(stage_layers, x):
+        n_local = jax.tree_util.tree_leaves(stage_layers)[0].shape[0]
+        for i in range(n_local):
+            layer = jax.tree_util.tree_map(lambda w: w[i], stage_layers)
+            x = _attention_block(layer, x, cfg, positions, None, None,
+                                 None, None, None)
+            x = _mlp_block(layer, x)
+        return x
+
+    x = gpipe_spmd(stage_fn, stacked, x, mesh, n_micro=n_micro,
+                   axis_name=pp_axis, batch_axis=batch_axis)
+    x = rms_norm(x, params["final_norm"])
+    return (x @ params["embed"].T).astype(jnp.float32)
+
+
 def param_shardings(params: Params, mesh: Mesh,
                     batch_axis: str = "dp",
                     head_axis: Optional[str] = None) -> Params:

@@ -1,0 +1,102 @@
+"""Pipeline parallelism: GPipe-style microbatched layer pipelining.
+
+Completes the parallelism matrix (dp × tp × sp × pp; the reference has
+only sequence parallelism — SURVEY.md §2.4). Design is TPU-first:
+
+  * stages live on a `pp` mesh axis; stage s holds layers
+    [s·L/S, (s+1)·L/S) as a stacked pytree sharded on the layer axis,
+  * the classic GPipe schedule runs T = M + S − 1 ticks; every tick each
+    stage applies its layers to its resident activation and the result
+    `ppermute`s one hop down the ring — XLA overlaps the permute with
+    the next tick's compute exactly like the ring-attention rotation,
+  * bubbles are real but explicit: ticks where a stage has no valid
+    microbatch compute on zeros, and those outputs are never selected,
+    so autodiff sends no gradient through them (no masking needed),
+  * backward needs no custom code: the schedule is plain traced JAX
+    (python tick loop + ppermute), and reverse-mode autodiff yields the
+    reverse pipeline schedule automatically.
+
+This module is deliberately generic: `gpipe_spmd` pipelines ANY
+stage_fn(stage_params, x) -> x with the same activation shape in and
+out (a transformer block stack qualifies).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def stack_stage_params(layer_params: list) -> Any:
+    """Stack a list of per-layer pytrees into one pytree with a leading
+    layer axis (shard it on the pp axis with `stage_param_sharding`)."""
+    return jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs, axis=0), *layer_params)
+
+
+def _layer_axis_spec(stacked: Any, axis: str) -> Any:
+    return jax.tree_util.tree_map(
+        lambda x: P(axis, *([None] * (x.ndim - 1))), stacked)
+
+
+def stage_param_sharding(stacked: Any, mesh: Mesh, axis: str = "pp") -> Any:
+    """NamedShardings placing each stage's layer slice on its pp rank."""
+    return jax.tree_util.tree_map(
+        lambda s: NamedSharding(mesh, s), _layer_axis_spec(stacked, axis))
+
+
+def gpipe_spmd(
+    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    stacked_params: Any,
+    x: jnp.ndarray,
+    mesh: Mesh,
+    n_micro: int,
+    axis_name: str = "pp",
+    batch_axis: Optional[str] = None,
+) -> jnp.ndarray:
+    """Run `stage_fn` as a GPipe pipeline over `axis_name`.
+
+    stage_fn(local_layers, x) applies ONE STAGE's layer stack (leading
+    axis = layers-per-stage) to activations x [mb, ...]. `x` is the
+    (per-dp-shard) batch [B, ...] with B % n_micro == 0. Differentiable;
+    composes with a `batch_axis` for dp.
+    """
+    n_stages = mesh.shape[axis_name]
+    ticks = n_micro + n_stages - 1
+    perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+    def local(params, x):
+        s = jax.lax.axis_index(axis_name)
+        b = x.shape[0]
+        if b % n_micro:
+            raise ValueError(f"local batch {b} % microbatches "
+                             f"{n_micro} != 0")
+        mb = b // n_micro
+        micro = x.reshape(n_micro, mb, *x.shape[1:])
+        zero = jnp.zeros_like(micro[0])
+        buf = zero
+        outs = []
+        for t in range(ticks):
+            # stage 0 injects microbatch t; later stages eat the buffer
+            inject = micro[t] if t < n_micro else zero
+            x_in = jnp.where(s == 0, inject, buf)
+            y = stage_fn(params, x_in)
+            outs.append(y)
+            if t < ticks - 1:
+                buf = jax.lax.ppermute(y, axis_name, perm)
+        # microbatch m finishes on the LAST stage at tick m + S - 1
+        out = jnp.stack(outs[n_stages - 1:]).reshape(b, *x.shape[1:])
+        # select (not multiply: bubbles may hold non-finite garbage) and
+        # replicate the last stage's result to every pp rank
+        out = jnp.where(s == n_stages - 1, out, jnp.zeros_like(out))
+        return jax.lax.psum(out, axis_name)
+
+    f = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(_layer_axis_spec(stacked_params, axis_name),
+                  P(batch_axis)),
+        out_specs=P(batch_axis), check_vma=False)
+    return f(stacked_params, x)
