@@ -35,6 +35,7 @@ from cuda_flashattention_tpu.ops.common import (
     NEG_INF,
     cdiv,
     default_interpret,
+    dequant_cast,
     pad_to_block,
     resolve_scale,
 )
@@ -83,8 +84,8 @@ def _decode_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         if quantized:
-            k = k.astype(cd)
-            v = v.astype(cd)
+            k = dequant_cast(k, cd)
+            v = dequant_cast(v, cd)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,

@@ -45,6 +45,7 @@ from cuda_flashattention_tpu.ops.common import (
     BlockSizes,
     cdiv,
     default_interpret,
+    dequant_cast,
     pad_to_block,
     resolve_scale,
 )
@@ -119,8 +120,8 @@ def _fwd_kernel(
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         if quantized:
-            k = k.astype(cd)
-            v = v.astype(cd)
+            k = dequant_cast(k, cd)
+            v = dequant_cast(v, cd)
 
         # S = Q·Kᵀ on the MXU with fp32 accumulation
         # (ref: process_kv_block attention_helper.h:62-76). The softmax
