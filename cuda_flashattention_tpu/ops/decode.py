@@ -47,6 +47,7 @@ def _decode_kernel(
     scale: float,
     block_k: int,
     quantized: bool,
+    scale_cols: bool,
     group: int,
     window: int,  # 0 = attend whole live context; else last `window` toks
 ):
@@ -86,11 +87,16 @@ def _decode_kernel(
         if quantized:
             k = dequant_cast(k, cd)
             v = dequant_cast(v, cd)
+            if scale_cols:
+                # small-block fallback: sublane-major (Bk,1) scales fold
+                # into K/V directly (see flash_fwd layout note)
+                k = k * k_scale_ref[0, 0].astype(cd)
+                v = v * v_scale_ref[0, 0].astype(cd)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (G, Bk)
-        if quantized:
+        if quantized and not scale_cols:
             s = s * k_scale_ref[0, 0]
         # mask the tail of the last valid block (dynamic length) and,
         # with a window, the stale prefix of the first visible block
@@ -110,7 +116,7 @@ def _decode_kernel(
             l_s[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
             l_s.shape)
         m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
-        if quantized:
+        if quantized and not scale_cols:
             p = p * v_scale_ref[0, 0]
         acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
             p.astype(cd), v, (((1,), (0,)), ((), ())),
@@ -197,25 +203,34 @@ def decode_attention(
     def kv_index(bb, hh, ik, len_ref):
         return (bb, hh, clamp_ik(ik, len_ref, bb), 0)
 
-    def scale_index(bb, hh, ik, len_ref):
-        return (bb, hh, 0, clamp_ik(ik, len_ref, bb))
-
     in_specs = [
         pl.BlockSpec((1, 1, g_pad, d), lambda bb, hh, ik, len_ref: (bb, hh, 0, 0)),
         pl.BlockSpec((1, 1, block_k, d), kv_index),
         pl.BlockSpec((1, 1, block_k, d), kv_index),
     ]
     inputs = [q_g, k_p, v_p]
+    scale_cols = block_k % 128 != 0
     if quantized:
         for sc in (k_scale, v_scale):
-            sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32), 3,
-                              block_k, value=1.0)
-            inputs.append(sc)
-            in_specs.append(pl.BlockSpec((1, 1, 1, block_k), scale_index))
+            if scale_cols:
+                sc = pad_to_block(sc[..., None].astype(jnp.float32), 2,
+                                  block_k, value=1.0)
+                inputs.append(sc)
+                in_specs.append(pl.BlockSpec((1, 1, block_k, 1),
+                                             kv_index))
+            else:
+                sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32),
+                                  3, block_k, value=1.0)
+                inputs.append(sc)
+                in_specs.append(pl.BlockSpec(
+                    (1, 1, 1, block_k),
+                    lambda bb, hh, ik, len_ref: (
+                        bb, hh, 0, clamp_ik(ik, len_ref, bb))))
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_k=block_k,
-        quantized=quantized, group=group, window=window)
+        quantized=quantized, scale_cols=quantized and scale_cols,
+        group=group, window=window)
 
     o, lse = pl.pallas_call(
         kernel,

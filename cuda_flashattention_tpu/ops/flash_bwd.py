@@ -62,7 +62,9 @@ def _mask_scores(s, iq, ik, *, causal, kv_offset, nk_valid, block_q,
         if window:
             ok = jnp.logical_and(ok, col > row - window)
     if qseg is not None:
-        ok = jnp.logical_and(ok, qseg == kseg)  # (Bq,1) == (1,Bk)
+        # qseg (Bq,1) vs kseg (Bk,1)→(1,Bk) (sublane-major carry; see
+        # flash_fwd note on TPU block-size legality)
+        ok = jnp.logical_and(ok, qseg == jnp.transpose(kseg, (1, 0)))
     return jnp.where(ok, s, NEG_INF)
 
 
@@ -312,8 +314,8 @@ def flash_attention_backward(
         seg_inputs = [
             pad_to_block(jnp.asarray(q_segment_ids, jnp.int32)[:, :, None],
                          1, block_q, value=-1),
-            pad_to_block(jnp.asarray(kv_segment_ids, jnp.int32)[:, None, :],
-                         2, block_k, value=-2),
+            pad_to_block(jnp.asarray(kv_segment_ids, jnp.int32)[:, :, None],
+                         1, block_k, value=-2),
         ]
 
     # Causal block-index clamping (same trick as flash_fwd): steps whose
@@ -360,8 +362,8 @@ def flash_attention_backward(
     dkdv_seg_specs = [
         pl.BlockSpec((1, block_q, 1),
                      lambda bb, hh, i, j, ig: (bb, q_idx(i, j), 0)),
-        pl.BlockSpec((1, 1, block_k),
-                     lambda bb, hh, i, j, ig: (bb, 0, i)),
+        pl.BlockSpec((1, block_k, 1),
+                     lambda bb, hh, i, j, ig: (bb, i, 0)),
     ] if segmented else []
 
     dk, dv = pl.pallas_call(
@@ -408,8 +410,8 @@ def flash_attention_backward(
     dq_seg_specs = [
         pl.BlockSpec((1, block_q, 1),
                      lambda bb, hh, i, j: (bb, i, 0)),
-        pl.BlockSpec((1, 1, block_k),
-                     lambda bb, hh, i, j: (bb, 0, kv_idx(i, j))),
+        pl.BlockSpec((1, block_k, 1),
+                     lambda bb, hh, i, j: (bb, kv_idx(i, j), 0)),
     ] if segmented else []
 
     dq = pl.pallas_call(

@@ -64,6 +64,7 @@ def _fwd_kernel(
     block_q: int,
     block_k: int,
     quantized: bool,
+    scale_cols: bool,
     segmented: bool,
 ):
     refs = list(refs)
@@ -122,6 +123,14 @@ def _fwd_kernel(
         if quantized:
             k = dequant_cast(k, cd)
             v = dequant_cast(v, cd)
+            if scale_cols:
+                # small-block fallback (Bk % 128 != 0 — test configs):
+                # sublane-major (Bk,1) scales fold into K/V directly.
+                # Production uses lane-major (1,Bk) rows on S/P — the
+                # [N,1] layout wastes 128x VMEM/DMA (one fp32 per
+                # (8,128) tile row) and measured 5x slower at scale.
+                k = k * k_scale_ref[0, 0].astype(cd)
+                v = v * v_scale_ref[0, 0].astype(cd)
 
         # S = Q·Kᵀ on the MXU with fp32 accumulation
         # (ref: process_kv_block attention_helper.h:62-76). The softmax
@@ -132,7 +141,7 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Bq, Bk)
-        if quantized:
+        if quantized and not scale_cols:
             s = s * k_scale_ref[0, 0]  # (1, Bk) per-token dequant, folded
 
         def update(s, guarded: bool):
@@ -163,7 +172,7 @@ def _fwd_kernel(
             l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
             # P·V accumulate (ref: kernel.cu:244-260). P is cast to the
             # input dtype so the MXU runs at full rate; acc stays fp32.
-            if quantized:
+            if quantized and not scale_cols:
                 p = p * v_scale_ref[0, 0]  # per-token dequant, folded
             pv = jax.lax.dot_general(
                 p.astype(cd), v, (((1,), (0,)), ((), ())),
@@ -188,8 +197,12 @@ def _fwd_kernel(
                 if window:
                     ok = jnp.logical_and(ok, col > row - window)
             if segmented:
-                # q ids (Bq,1) vs kv ids (1,Bk) — broadcast compare
-                ok = jnp.logical_and(ok, qseg_ref[0] == kseg_ref[0])
+                # q ids (Bq,1) vs kv ids (Bk,1)→(1,Bk): both segment-id
+                # arrays are carried sublane-major ([.., N, 1] — the only
+                # layout legal at every block size on TPU); the kv vector
+                # is transposed here (Bk elements, negligible)
+                kseg_row = jnp.transpose(kseg_ref[0], (1, 0))
+                ok = jnp.logical_and(ok, qseg_ref[0] == kseg_row)
             s = jnp.where(ok, s, NEG_INF)
             update(s, guarded=True)
 
@@ -320,6 +333,7 @@ def flash_attention_forward(
         block_q=block_q,
         block_k=block_k,
         quantized=quantized,
+        scale_cols=quantized and block_k % 128 != 0,
         segmented=segmented,
     )
 
@@ -346,19 +360,34 @@ def flash_attention_forward(
     inputs = [q_p, k_p, v_p]
     scale_specs = []
     if quantized:
-        # scales laid out [B,Hkv,1,N] so each block is a (1, Bk) row vector
+        # scales laid out lane-major [B,Hkv,1,N] so each block is a
+        # (1, Bk) row. TPU requires the block's last dim to divide 128
+        # or equal the array dim; when Bk isn't 128-aligned (tiny test
+        # configs — production blocks are 2048/8192) the whole padded
+        # row is the block and the kernel slices it per step.
+        scale_cols = block_k % 128 != 0
         for sc in (k_scale, v_scale):
             if sc.shape != (b, h_kv, nk):
                 raise ValueError(
                     f"scale shape {sc.shape} != {(b, h_kv, nk)}")
-            sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32), 3,
-                              block_k, value=1.0)
-            inputs.append(sc)
-            scale_specs.append(pl.BlockSpec(
-                (1, 1, 1, block_k),
-                lambda bb, hh, iq, ik, g=group: (
-                    bb, hh // g, 0, kv_block_idx(iq, ik)),
-            ))
+            if scale_cols:
+                sc = pad_to_block(sc[..., None].astype(jnp.float32), 2,
+                                  block_k, value=1.0)
+                inputs.append(sc)
+                scale_specs.append(pl.BlockSpec(
+                    (1, 1, block_k, 1),
+                    lambda bb, hh, iq, ik, g=group: (
+                        bb, hh // g, kv_block_idx(iq, ik), 0),
+                ))
+            else:
+                sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32),
+                                  3, block_k, value=1.0)
+                inputs.append(sc)
+                scale_specs.append(pl.BlockSpec(
+                    (1, 1, 1, block_k),
+                    lambda bb, hh, iq, ik, g=group: (
+                        bb, hh // g, 0, kv_block_idx(iq, ik)),
+                ))
     if segmented:
         # q ids [B, Nq, 1] (padded with -1) / kv ids [B, 1, Nk] (padded
         # with -2): distinct pad ids so padded q rows match nothing
@@ -366,15 +395,15 @@ def flash_attention_forward(
             jnp.asarray(q_segment_ids, jnp.int32)[:, :, None], 1, block_q,
             value=-1)
         ks = pad_to_block(
-            jnp.asarray(kv_segment_ids, jnp.int32)[:, None, :], 2, block_k,
+            jnp.asarray(kv_segment_ids, jnp.int32)[:, :, None], 1, block_k,
             value=-2)
         inputs.append(qs)
         scale_specs.append(pl.BlockSpec(
             (1, block_q, 1), lambda bb, hh, iq, ik: (bb, iq, 0)))
         inputs.append(ks)
         scale_specs.append(pl.BlockSpec(
-            (1, 1, block_k),
-            lambda bb, hh, iq, ik: (bb, 0, kv_block_idx(iq, ik))))
+            (1, block_k, 1),
+            lambda bb, hh, iq, ik: (bb, kv_block_idx(iq, ik), 0)))
 
     o, lse = pl.pallas_call(
         kernel,
