@@ -375,7 +375,11 @@ def pipeline_forward(
     b, t = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)
     positions = jnp.arange(t)
-    stacked = stack_stage_params(params["layers"])
+    # training loops should stack ONCE at init (stack_stage_params +
+    # stage_param_sharding) and pass the stacked pytree through — the
+    # list path below re-concatenates every call
+    stacked = (params["layers"] if not isinstance(params["layers"], list)
+               else stack_stage_params(params["layers"]))
 
     def stage_fn(stage_layers, x):
         n_local = jax.tree_util.tree_leaves(stage_layers)[0].shape[0]

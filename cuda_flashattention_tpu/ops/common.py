@@ -138,9 +138,12 @@ def fp8_to_bf16(x: jnp.ndarray) -> jnp.ndarray:
     # but not i16 shifts (arith.shli on vector<...xi16> fails to legalize)
     u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
     mag = u & 0x7f
-    bits = (u & 0x80) * 256 + (mag + (120 << 3)) * 16
-    bits = jnp.where(mag < 8, 0, bits).astype(jnp.uint16)
-    return jax.lax.bitcast_convert_type(bits, jnp.bfloat16)
+    sign = (u & 0x80) * 256
+    bits = sign + (mag + (120 << 3)) * 16
+    bits = jnp.where(mag < 8, 0, bits)           # flush zero/subnormals
+    bits = jnp.where(mag == 0x7f, sign + 0x7fc0, bits)  # preserve NaN
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16),
+                                        jnp.bfloat16)
 
 
 def dequant_cast(x: jnp.ndarray, target_dtype) -> jnp.ndarray:

@@ -38,6 +38,7 @@ from cuda_flashattention_tpu.ops.common import (
     dequant_cast,
     pad_to_block,
     resolve_scale,
+    round_up,
 )
 
 
@@ -180,6 +181,10 @@ def decode_attention(
         q_g = jnp.pad(q_g, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
 
     block_k = min(block_k, max(8, max_n))
+    if quantized and block_k % 128 != 0:
+        # 128-aligned blocks keep the fast lane-major scale layout
+        # (docs/MEMO.md #12); K/V pad to the block anyway
+        block_k = min(round_up(block_k, 128), round_up(max_n, 128))
     k_p = pad_to_block(k, 2, block_k)
     v_p = pad_to_block(v, 2, block_k)
     max_np = k_p.shape[2]

@@ -48,6 +48,7 @@ from cuda_flashattention_tpu.ops.common import (
     dequant_cast,
     pad_to_block,
     resolve_scale,
+    round_up,
 )
 
 _LOG2E = 1.4426950408889634  # log2(e): scores are carried in log2 units
@@ -71,11 +72,13 @@ def _fwd_kernel(
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
     if quantized:
-        # K/V arrive quantized (int8 / fp8) with per-token fp32 scales laid
-        # out [B,Hkv,1,N] so the kernel sees them as (1, Bk) row vectors —
-        # dequantisation is FOLDED into the matmuls (weight-only style):
-        # S = (Q·K_qᵀ) ⊙ k_scaleᵀ and O += (P ⊙ v_scaleᵀ)·V_q. The int8/fp8
-        # → bf16 casts are exact, so no precision is lost beyond the MXU.
+        # K/V arrive quantized (int8 / fp8) with per-token fp32 scales.
+        # Production (scale_cols=False): scales are lane-major [B,Hkv,1,N]
+        # (1,Bk) rows and dequant FOLDS into the matmuls:
+        # S = (Q·K_qᵀ) ⊙ σ_kᵀ, O += (P ⊙ σ_vᵀ)·V_q. Small-block fallback
+        # (scale_cols=True, Bk % 128 != 0): scales are sublane-major
+        # (Bk,1) columns multiplied into K/V directly. int8/fp8 → bf16
+        # casts are exact, so no precision is lost beyond the MXU.
         k_scale_ref, v_scale_ref = refs[:2]
         refs = refs[2:]
     else:
@@ -314,6 +317,11 @@ def flash_attention_forward(
     bs = (block_sizes.clamp(nq, nk) if block_sizes is not None
           else auto_block_sizes(nq, nk, d, causal=causal))
     block_q, block_k = bs.block_q, bs.block_k
+    if quantized and block_k % 128 != 0:
+        # keep the fast lane-major scale layout: a 128-aligned KV block
+        # is always legal (K/V pad to it), while non-aligned blocks fall
+        # back to the 5x-slower sublane-major path (docs/MEMO.md #12)
+        block_k = min(round_up(block_k, 128), round_up(nk, 128))
 
     # softmax scale AND log2(e) folded into Q (see kernel note): one fused
     # (N,d) mul buys exp→exp2 in the kernel's hot loop

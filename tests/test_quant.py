@@ -107,3 +107,22 @@ def test_quantized_kv_is_pytree():
     kv2 = jax.tree_util.tree_map(lambda x: x, kv)
     assert isinstance(kv2, QuantizedKV)
     assert kv2.qtype == "int8"
+
+
+def test_fp8_to_bf16_bit_surgery_exhaustive():
+    """All 256 e4m3fn codes through the integer-rebias fast path vs the
+    reference astype: exact for normals, NaN preserved, zero/subnormals
+    flushed to 0 (documented)."""
+    from cuda_flashattention_tpu.ops.common import fp8_to_bf16
+    codes = np.arange(256, dtype=np.uint8)
+    x8 = jax.lax.bitcast_convert_type(jnp.asarray(codes),
+                                      jnp.float8_e4m3fn)
+    got = np.asarray(fp8_to_bf16(x8), dtype=np.float32)
+    ref = np.asarray(x8.astype(jnp.bfloat16), dtype=np.float32)
+    mag = codes & 0x7F
+    is_nan = mag == 0x7F
+    is_sub = mag < 8  # zero + subnormals: flushed by the fast path
+    assert np.isnan(got[is_nan]).all(), "NaN codes must stay NaN"
+    assert (got[is_sub & ~is_nan] == 0).all(), "subnormals flush to 0"
+    normal = ~is_nan & ~is_sub
+    assert (got[normal] == ref[normal]).all(), "normals must be exact"
