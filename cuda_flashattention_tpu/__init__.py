@@ -33,6 +33,7 @@ from cuda_flashattention_tpu.ops.kv_cache import (
     decode_step,
     init_cache,
 )
+from cuda_flashattention_tpu.ops.paged import paged_decode_attention
 from cuda_flashattention_tpu.ops.naive import (
     naive_attention,
     naive_attention_backward,
@@ -48,6 +49,7 @@ __all__ = [
     "mha",
     "fa1_attention",
     "decode_attention",
+    "paged_decode_attention",
     "KVCache",
     "append",
     "decode_step",

@@ -1,0 +1,223 @@
+"""Paged attention: decode over non-contiguous KV pages (block tables).
+
+Production serving allocates KV cache in fixed-size PAGES shared by all
+sequences (vLLM-style) instead of one contiguous strip per sequence —
+no fragmentation, instant reuse, and sequence-length-independent
+allocation. No reference analog (the CUDA ladder has no serving layer);
+this is the TPU-native construction:
+
+  * the page pool is one array [n_pages, Hkv, page_size, d] (plus
+    per-token scale pools when quantized),
+  * each sequence's logical cache is a row of `page_table`
+    [B, max_pages] holding physical page ids,
+  * the decode kernel's K/V BlockSpec index maps read the page table via
+    SCALAR PREFETCH — the grid walks logical pages and the index map
+    returns the physical page to DMA, so gather happens in the pipeline,
+    not as a materialised copy,
+  * past-the-end logical pages clamp to the last valid page id —
+    consecutive identical indices dedupe the DMA and `@pl.when` skips
+    the compute (same trick as ops/decode.py's dynamic lengths).
+
+The online-softmax math is identical to ops/decode.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cuda_flashattention_tpu.ops.common import (
+    NEG_INF,
+    cdiv,
+    default_interpret,
+    dequant_cast,
+    resolve_scale,
+)
+
+
+def _paged_kernel(
+    lengths_ref,   # scalar prefetch: [B] int32
+    table_ref,     # scalar prefetch: [B, max_pages] int32
+    *refs,
+    scale: float,
+    page_size: int,
+    quantized: bool,
+    group: int,
+):
+    if quantized:
+        (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
+         o_ref, lse_ref, m_s, l_s, acc_s) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s) = refs
+        k_scale_ref = v_scale_ref = None
+
+    b = pl.program_id(0)
+    ip = pl.program_id(2)
+    n_pages = pl.num_programs(2)
+    length = lengths_ref[b]
+
+    @pl.when(ip == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(ip * page_size < length)
+    def _compute():
+        q = q_ref[0, 0]  # (G, d)
+        cd = q.dtype
+        k = k_ref[0, 0]  # (page_size, d) — the DMA'd physical page
+        v = v_ref[0, 0]
+        if quantized:
+            k = dequant_cast(k, cd)
+            v = dequant_cast(v, cd)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (G, page_size)
+        if quantized:
+            s = s * k_scale_ref[0, 0]  # (1, page_size) per-token
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+        s = jnp.where(col + ip * page_size < length, s, NEG_INF)
+
+        m_prev = m_s[:, :1]
+        m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_next)
+        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+        alpha = jnp.exp(m_prev - m_next)
+        l_s[...] = jnp.broadcast_to(
+            l_s[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+            l_s.shape)
+        m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
+        if quantized:
+            p = p * v_scale_ref[0, 0]
+        acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+            p.astype(cd), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(ip == n_pages - 1)
+    def _epilogue():
+        l = l_s[:, :1]
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
+        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
+                                  m_s[:, :1] + jnp.log(l_safe))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "interpret"),
+)
+def paged_decode_attention(
+    q: jnp.ndarray,
+    k_pages: jnp.ndarray,
+    v_pages: jnp.ndarray,
+    page_table: jnp.ndarray,
+    lengths: jnp.ndarray,
+    k_scale: Optional[jnp.ndarray] = None,
+    v_scale: Optional[jnp.ndarray] = None,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One decode step over paged caches.
+
+    q [B,H,d]; k_pages/v_pages [n_pages, Hkv, page_size, d] (the shared
+    pool); page_table [B, max_pages] int32 physical page ids (entries
+    beyond a sequence's ceil(length/page_size) pages are ignored);
+    lengths [B] int32 live token counts. Optional per-token scale pools
+    [n_pages, Hkv, page_size] for int8/fp8 storage.
+
+    Returns (o [B,H,d], lse [B,H]).
+    """
+    b, h, d = q.shape
+    n_pool, h_kv, page_size, _ = k_pages.shape
+    max_pages = page_table.shape[1]
+    if h % h_kv != 0:
+        raise ValueError(f"q heads {h} not a multiple of kv heads {h_kv}")
+    group = h // h_kv
+    scale = resolve_scale(scale, d)
+    interpret = default_interpret() if interpret is None else interpret
+    quantized = k_scale is not None
+    if quantized and v_scale is None:
+        raise ValueError("k_scale given without v_scale")
+
+    g_pad = max(8, group)
+    q_g = q.reshape(b, h_kv, group, d)
+    if g_pad != group:
+        q_g = jnp.pad(q_g, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+
+    lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    table = jnp.asarray(page_table, jnp.int32).reshape(b, max_pages)
+
+    def page_index(bb, hh, ip, len_ref, tab_ref):
+        # clamp past-the-end logical pages to the last valid one:
+        # consecutive identical physical ids → the pipeline skips the DMA
+        last = jnp.maximum(pl.cdiv(len_ref[bb], page_size) - 1, 0)
+        return (tab_ref[bb, jnp.minimum(ip, last)], hh, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, g_pad, d),
+                     lambda bb, hh, ip, len_ref, tab_ref: (bb, hh, 0, 0)),
+        pl.BlockSpec((1, 1, page_size, d), page_index),
+        pl.BlockSpec((1, 1, page_size, d), page_index),
+    ]
+    inputs = [q_g, k_pages, v_pages]
+    if quantized:
+        # scale pools carried [n_pages, Hkv, 1, page_size]: the (1, page)
+        # row block equals the array dims → legal at any page size
+        for sc in (k_scale, v_scale):
+            if sc.shape != (n_pool, h_kv, page_size):
+                raise ValueError(
+                    f"scale pool shape {sc.shape} != "
+                    f"{(n_pool, h_kv, page_size)}")
+            inputs.append(sc[:, :, None, :].astype(jnp.float32))
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 1, page_size),
+                lambda bb, hh, ip, len_ref, tab_ref: (
+                    page_index(bb, hh, ip, len_ref, tab_ref)[0],
+                    hh, 0, 0)))
+
+    kernel = functools.partial(
+        _paged_kernel, scale=scale, page_size=page_size,
+        quantized=quantized, group=group)
+
+    o, lse = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, h_kv, max_pages),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((1, 1, g_pad, d),
+                             lambda bb, hh, ip, len_ref, tab_ref: (
+                                 bb, hh, 0, 0)),
+                pl.BlockSpec((1, 1, g_pad, 1),
+                             lambda bb, hh, ip, len_ref, tab_ref: (
+                                 bb, hh, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((g_pad, 128), jnp.float32),
+                pltpu.VMEM((g_pad, 128), jnp.float32),
+                pltpu.VMEM((g_pad, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h_kv, g_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, g_pad, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(lengths, table, *inputs)
+
+    o = o[:, :, :group].reshape(b, h, d)
+    lse = lse[:, :, :group, 0].reshape(b, h)
+    return o, lse
