@@ -28,6 +28,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -221,3 +222,142 @@ def paged_decode_attention(
     o = o[:, :, :group].reshape(b, h, d)
     lse = lse[:, :, :group, 0].reshape(b, h)
     return o, lse
+
+
+# ---------------------------------------------------------------------------
+# Paged cache management: pool + block tables + host-side page allocator
+# ---------------------------------------------------------------------------
+
+import dataclasses
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PagedKVCache:
+    """Paged KV cache for one attention layer.
+
+    k_pages/v_pages: [n_pages, Hkv, page_size, d] shared pools (storage
+    dtype bf16/f32/int8/fp8). k_scale/v_scale: [n_pages, Hkv, page_size]
+    fp32 pools or None. page_table: [B, max_pages] int32 physical ids.
+    lengths: [B] int32 live tokens per sequence.
+    """
+
+    k_pages: jnp.ndarray
+    v_pages: jnp.ndarray
+    k_scale: Optional[jnp.ndarray]
+    v_scale: Optional[jnp.ndarray]
+    page_table: jnp.ndarray
+    lengths: jnp.ndarray
+
+    @property
+    def page_size(self) -> int:
+        return self.k_pages.shape[2]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+class PageAllocator:
+    """Host-side free-list page allocator (the serving driver runs this
+    OUTSIDE jit, like every block-table system): hand out physical page
+    ids as sequences grow, reclaim them when sequences finish."""
+
+    def __init__(self, n_pages: int):
+        self.free = list(range(n_pages - 1, -1, -1))
+
+    def alloc(self) -> int:
+        if not self.free:
+            raise RuntimeError("page pool exhausted")
+        return self.free.pop()
+
+    def release(self, page_ids) -> None:
+        self.free.extend(int(p) for p in page_ids)
+
+    def reserve_for(self, cache: PagedKVCache, batch_idx: int,
+                    new_tokens: int = 1) -> PagedKVCache:
+        """Ensure sequence `batch_idx` has pages for `new_tokens` more
+        tokens, allocating and writing table entries as needed."""
+        ps = cache.page_size
+        have = int(cache.lengths[batch_idx])
+        pages_now = -(-have // ps) if have else 0
+        pages_need = -(-(have + new_tokens) // ps)
+        table = cache.page_table
+        for p in range(pages_now, pages_need):
+            table = table.at[batch_idx, p].set(self.alloc())
+        return dataclasses.replace(cache, page_table=table)
+
+    def release_sequence(self, cache: PagedKVCache,
+                         batch_idx: int) -> PagedKVCache:
+        """Free all pages of a finished sequence."""
+        ps = cache.page_size
+        n = -(-int(cache.lengths[batch_idx]) // ps)
+        self.release(np.asarray(cache.page_table[batch_idx, :n]))
+        return dataclasses.replace(
+            cache, lengths=cache.lengths.at[batch_idx].set(0))
+
+
+def init_paged_cache(n_pages: int, batch: int, max_pages: int,
+                     heads_kv: int, page_size: int, d: int,
+                     qtype: Optional[str] = None,
+                     dtype=jnp.bfloat16) -> PagedKVCache:
+    from cuda_flashattention_tpu.ops.quant import _storage_dtype
+    store = _storage_dtype(qtype) if qtype else dtype
+    shape = (n_pages, heads_kv, page_size, d)
+    sshape = (n_pages, heads_kv, page_size)
+    # distinct buffers (no aliased arrays — donation safety, see kv_cache)
+    return PagedKVCache(
+        jnp.zeros(shape, store), jnp.zeros(shape, store),
+        jnp.ones(sshape, jnp.float32) if qtype else None,
+        jnp.ones(sshape, jnp.float32) if qtype else None,
+        jnp.zeros((batch, max_pages), jnp.int32),
+        jnp.zeros((batch,), jnp.int32))
+
+
+def paged_append(cache: PagedKVCache, k_new: jnp.ndarray,
+                 v_new: jnp.ndarray) -> PagedKVCache:
+    """Append ONE token per sequence (k/v [B, Hkv, d]) at each write
+    head. The caller must have reserved pages (PageAllocator.reserve_for).
+    Quantizes at append when the pools are quantized. Jit-compatible
+    (page ids are data, positions are dynamic)."""
+    from cuda_flashattention_tpu.ops.quant import quantize_tensor
+    b = k_new.shape[0]
+    ps = cache.page_size
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    ks_pool, vs_pool = cache.k_scale, cache.v_scale
+    for i in range(b):  # B is static and small; page ids stay dynamic
+        pos = cache.lengths[i]
+        pid = cache.page_table[i, pos // ps]
+        off = pos % ps
+        if cache.quantized:
+            qtype = "int8" if k_pages.dtype == jnp.int8 else "fp8"
+            kq, ks = quantize_tensor(k_new[i][:, None, :], qtype)
+            vq, vs = quantize_tensor(v_new[i][:, None, :], qtype)
+            k_pages = jax.lax.dynamic_update_slice(
+                k_pages, kq.astype(k_pages.dtype)[None], (pid, 0, off, 0))
+            v_pages = jax.lax.dynamic_update_slice(
+                v_pages, vq.astype(v_pages.dtype)[None], (pid, 0, off, 0))
+            ks_pool = jax.lax.dynamic_update_slice(
+                ks_pool, ks[None], (pid, 0, off))
+            vs_pool = jax.lax.dynamic_update_slice(
+                vs_pool, vs[None], (pid, 0, off))
+        else:
+            k_pages = jax.lax.dynamic_update_slice(
+                k_pages, k_new[i].astype(k_pages.dtype)[None, :, None],
+                (pid, 0, off, 0))
+            v_pages = jax.lax.dynamic_update_slice(
+                v_pages, v_new[i].astype(v_pages.dtype)[None, :, None],
+                (pid, 0, off, 0))
+    return dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages, k_scale=ks_pool,
+        v_scale=vs_pool, lengths=cache.lengths + 1)
+
+
+def paged_decode_step(q: jnp.ndarray, cache: PagedKVCache,
+                      scale: Optional[float] = None,
+                      interpret: Optional[bool] = None):
+    """Attend one query token per sequence against the paged cache."""
+    return paged_decode_attention(
+        q, cache.k_pages, cache.v_pages, cache.page_table, cache.lengths,
+        k_scale=cache.k_scale, v_scale=cache.v_scale, scale=scale,
+        interpret=interpret)

@@ -97,3 +97,73 @@ def test_paged_quantized(setup, qtype):
                               k_scale=kv.k_scale, v_scale=kv.v_scale)
     tol = 1e-4 if qtype == "int8" else 1e-4
     assert_close(o_p, o_c, tol, name=f"paged {qtype}")
+
+
+def test_paged_cache_lifecycle():
+    """End-to-end serving lifecycle: interleaved appends across two
+    sequences through the allocator, attention matching a contiguous
+    shadow cache each step, then page release + reuse."""
+    from cuda_flashattention_tpu.ops.paged import (
+        PageAllocator, init_paged_cache, paged_append, paged_decode_step)
+
+    b, hkv, h, page, maxp, d = 2, 2, 2, 8, 4, 16
+    cache = init_paged_cache(n_pages=10, batch=b, max_pages=maxp,
+                             heads_kv=hkv, page_size=page, d=d,
+                             dtype=jnp.float32)
+    alloc = PageAllocator(10)
+    rng = np.random.default_rng(5)
+    shadow_k = np.zeros((b, hkv, page * maxp, d), np.float32)
+    shadow_v = np.zeros_like(shadow_k)
+
+    n_steps = 19  # crosses two page boundaries
+    for t in range(n_steps):
+        k_new = jnp.asarray(rng.uniform(-1, 1, (b, hkv, d)), jnp.float32)
+        v_new = jnp.asarray(rng.uniform(-1, 1, (b, hkv, d)), jnp.float32)
+        for i in range(b):
+            cache = alloc.reserve_for(cache, i, 1)
+        cache = paged_append(cache, k_new, v_new)
+        shadow_k[:, :, t] = np.asarray(k_new)
+        shadow_v[:, :, t] = np.asarray(v_new)
+
+        if t in (0, 7, 8, 15, 18):
+            q = jnp.asarray(rng.uniform(-1, 1, (b, h, d)), jnp.float32)
+            o, _ = paged_decode_step(q, cache)
+            lengths = jnp.full((b,), t + 1, jnp.int32)
+            o_ref, _ = decode_attention(q, jnp.asarray(shadow_k),
+                                        jnp.asarray(shadow_v), lengths,
+                                        block_k=page)
+            assert_close(o, o_ref, 1e-5, name=f"lifecycle t={t}")
+
+    # release sequence 0 and verify its pages get reused
+    free_before = len(alloc.free)
+    cache = alloc.release_sequence(cache, 0)
+    assert len(alloc.free) == free_before + 3  # ceil(19/8) pages freed
+    cache = alloc.reserve_for(cache, 0, 1)
+    assert len(alloc.free) == free_before + 2
+
+
+def test_paged_cache_quantized_lifecycle():
+    from cuda_flashattention_tpu.ops.paged import (
+        PageAllocator, init_paged_cache, paged_append, paged_decode_step)
+    from cuda_flashattention_tpu.ops.naive import naive_attention
+
+    b, hkv, h, page, maxp, d = 1, 2, 4, 8, 3, 16
+    cache = init_paged_cache(n_pages=6, batch=b, max_pages=maxp,
+                             heads_kv=hkv, page_size=page, d=d,
+                             qtype="int8")
+    alloc = PageAllocator(6)
+    rng = np.random.default_rng(6)
+    ks, vs = [], []
+    for t in range(11):
+        k_new = jnp.asarray(rng.uniform(-1, 1, (b, hkv, d)), jnp.float32)
+        v_new = jnp.asarray(rng.uniform(-1, 1, (b, hkv, d)), jnp.float32)
+        cache = alloc.reserve_for(cache, 0, 1)
+        cache = paged_append(cache, k_new, v_new)
+        ks.append(np.asarray(k_new))
+        vs.append(np.asarray(v_new))
+    q = jnp.asarray(rng.uniform(-1, 1, (b, h, d)), jnp.float32)
+    o, _ = paged_decode_step(q, cache)
+    kf = jnp.repeat(jnp.asarray(np.stack(ks, 2)), h // hkv, 1)
+    vf = jnp.repeat(jnp.asarray(np.stack(vs, 2)), h // hkv, 1)
+    r, _ = naive_attention(q[:, :, None], kf, vf)
+    assert_close(o, r[:, :, 0], 5e-3, name="quantized lifecycle")
