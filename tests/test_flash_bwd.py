@@ -159,6 +159,9 @@ def test_gqa_backward_no_repeat():
                                                 causal=True)
     dk_ref = dk_r.reshape(b, h_kv, group, n, d).sum(axis=2)
     dv_ref = dv_r.reshape(b, h_kv, group, n, d).sum(axis=2)
-    assert_close(dq, dq_r, 2e-3, name="gqa dQ")
-    assert_close(dk, dk_ref, 2e-3, name="gqa dK")
-    assert_close(dv, dv_ref, 2e-3, name="gqa dV")
+    # on-chip fp32 matmuls run as bf16 decompositions: grads that sum
+    # many MXU products carry a little extra noise vs interpret mode
+    tol = 5e-3 if jax.default_backend() == "tpu" else 2e-3
+    assert_close(dq, dq_r, tol, name="gqa dQ")
+    assert_close(dk, dk_ref, tol, name="gqa dK")
+    assert_close(dv, dv_ref, tol, name="gqa dV")

@@ -95,7 +95,9 @@ def test_paged_quantized(setup, qtype):
         k_scale=ks_pool[..., 0], v_scale=vs_pool[..., 0])
     o_c, _ = decode_attention(q, kv.k_q, kv.v_q, lengths,
                               k_scale=kv.k_scale, v_scale=kv.v_scale)
-    tol = 1e-4 if qtype == "int8" else 1e-4
+    # paged (page=16) and contiguous (block=128) accumulate in different
+    # tilings; exact in interpret mode, MXU-decomposition noise on-chip
+    tol = 1e-3 if jax.default_backend() == "tpu" else 1e-4
     assert_close(o_p, o_c, tol, name=f"paged {qtype}")
 
 
