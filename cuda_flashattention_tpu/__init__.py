@@ -33,7 +33,14 @@ from cuda_flashattention_tpu.ops.kv_cache import (
     decode_step,
     init_cache,
 )
-from cuda_flashattention_tpu.ops.paged import paged_decode_attention
+from cuda_flashattention_tpu.ops.paged import (
+    PageAllocator,
+    PagedKVCache,
+    init_paged_cache,
+    paged_append,
+    paged_decode_attention,
+    paged_decode_step,
+)
 from cuda_flashattention_tpu.ops.naive import (
     naive_attention,
     naive_attention_backward,
@@ -50,6 +57,11 @@ __all__ = [
     "fa1_attention",
     "decode_attention",
     "paged_decode_attention",
+    "PagedKVCache",
+    "PageAllocator",
+    "init_paged_cache",
+    "paged_append",
+    "paged_decode_step",
     "KVCache",
     "append",
     "decode_step",

@@ -23,6 +23,7 @@ The online-softmax math is identical to ops/decode.py.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional, Tuple
 
@@ -34,7 +35,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cuda_flashattention_tpu.ops.common import (
     NEG_INF,
-    cdiv,
     default_interpret,
     dequant_cast,
     resolve_scale,
@@ -48,7 +48,6 @@ def _paged_kernel(
     scale: float,
     page_size: int,
     quantized: bool,
-    group: int,
 ):
     if quantized:
         (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
@@ -186,7 +185,7 @@ def paged_decode_attention(
 
     kernel = functools.partial(
         _paged_kernel, scale=scale, page_size=page_size,
-        quantized=quantized, group=group)
+        quantized=quantized)
 
     o, lse = pl.pallas_call(
         kernel,
@@ -228,8 +227,6 @@ def paged_decode_attention(
 # Paged cache management: pool + block tables + host-side page allocator
 # ---------------------------------------------------------------------------
 
-import dataclasses
-
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
@@ -261,10 +258,15 @@ class PagedKVCache:
 class PageAllocator:
     """Host-side free-list page allocator (the serving driver runs this
     OUTSIDE jit, like every block-table system): hand out physical page
-    ids as sequences grow, reclaim them when sequences finish."""
+    ids as sequences grow, reclaim them when sequences finish.
+
+    Tracks per-sequence assigned-slot high-water marks so multi-token
+    reservations are never re-allocated (and hence leaked) when fewer
+    tokens were appended than reserved."""
 
     def __init__(self, n_pages: int):
         self.free = list(range(n_pages - 1, -1, -1))
+        self._assigned: dict = {}  # batch_idx -> table slots allocated
 
     def alloc(self) -> int:
         if not self.free:
@@ -277,22 +279,36 @@ class PageAllocator:
     def reserve_for(self, cache: PagedKVCache, batch_idx: int,
                     new_tokens: int = 1) -> PagedKVCache:
         """Ensure sequence `batch_idx` has pages for `new_tokens` more
-        tokens, allocating and writing table entries as needed."""
+        tokens, allocating and writing table entries as needed. Raises
+        when the sequence would exceed max_pages*page_size capacity
+        (an out-of-bounds table write would be silently dropped by JAX
+        and the clamped append would corrupt a live page)."""
         ps = cache.page_size
+        max_pages = cache.page_table.shape[1]
         have = int(cache.lengths[batch_idx])
-        pages_now = -(-have // ps) if have else 0
-        pages_need = -(-(have + new_tokens) // ps)
+        pages_now = max(-(-have // ps) if have else 0,
+                        self._assigned.get(batch_idx, 0))
+        pages_need = max(pages_now, -(-(have + new_tokens) // ps))
+        if pages_need > max_pages:
+            raise ValueError(
+                f"sequence {batch_idx} needs {pages_need} pages for "
+                f"{have + new_tokens} tokens but the table holds only "
+                f"{max_pages} (capacity {max_pages * ps} tokens)")
         table = cache.page_table
         for p in range(pages_now, pages_need):
             table = table.at[batch_idx, p].set(self.alloc())
+        self._assigned[batch_idx] = pages_need
         return dataclasses.replace(cache, page_table=table)
 
     def release_sequence(self, cache: PagedKVCache,
                          batch_idx: int) -> PagedKVCache:
-        """Free all pages of a finished sequence."""
+        """Free all pages of a finished sequence (including reserved-but-
+        unfilled slots)."""
         ps = cache.page_size
-        n = -(-int(cache.lengths[batch_idx]) // ps)
+        n = max(-(-int(cache.lengths[batch_idx]) // ps),
+                self._assigned.get(batch_idx, 0))
         self.release(np.asarray(cache.page_table[batch_idx, :n]))
+        self._assigned[batch_idx] = 0
         return dataclasses.replace(
             cache, lengths=cache.lengths.at[batch_idx].set(0))
 
@@ -323,31 +339,27 @@ def paged_append(cache: PagedKVCache, k_new: jnp.ndarray,
     from cuda_flashattention_tpu.ops.quant import quantize_tensor
     b = k_new.shape[0]
     ps = cache.page_size
+    # one batched scatter per pool (not B serial dynamic_update_slices):
+    # pids/offs are [B] vectors, .at[pids, :, offs] lowers to lax.scatter
+    pids = cache.page_table[jnp.arange(b), cache.lengths // ps]
+    offs = cache.lengths % ps
     k_pages, v_pages = cache.k_pages, cache.v_pages
     ks_pool, vs_pool = cache.k_scale, cache.v_scale
-    for i in range(b):  # B is static and small; page ids stay dynamic
-        pos = cache.lengths[i]
-        pid = cache.page_table[i, pos // ps]
-        off = pos % ps
-        if cache.quantized:
-            qtype = "int8" if k_pages.dtype == jnp.int8 else "fp8"
-            kq, ks = quantize_tensor(k_new[i][:, None, :], qtype)
-            vq, vs = quantize_tensor(v_new[i][:, None, :], qtype)
-            k_pages = jax.lax.dynamic_update_slice(
-                k_pages, kq.astype(k_pages.dtype)[None], (pid, 0, off, 0))
-            v_pages = jax.lax.dynamic_update_slice(
-                v_pages, vq.astype(v_pages.dtype)[None], (pid, 0, off, 0))
-            ks_pool = jax.lax.dynamic_update_slice(
-                ks_pool, ks[None], (pid, 0, off))
-            vs_pool = jax.lax.dynamic_update_slice(
-                vs_pool, vs[None], (pid, 0, off))
-        else:
-            k_pages = jax.lax.dynamic_update_slice(
-                k_pages, k_new[i].astype(k_pages.dtype)[None, :, None],
-                (pid, 0, off, 0))
-            v_pages = jax.lax.dynamic_update_slice(
-                v_pages, v_new[i].astype(v_pages.dtype)[None, :, None],
-                (pid, 0, off, 0))
+    if cache.quantized:
+        qtype = "int8" if k_pages.dtype == jnp.int8 else "fp8"
+        kq, ks = quantize_tensor(k_new[:, :, None, :], qtype)  # [B,H,1,d]
+        vq, vs = quantize_tensor(v_new[:, :, None, :], qtype)
+        k_pages = k_pages.at[pids, :, offs].set(
+            kq[:, :, 0].astype(k_pages.dtype))
+        v_pages = v_pages.at[pids, :, offs].set(
+            vq[:, :, 0].astype(v_pages.dtype))
+        ks_pool = ks_pool.at[pids, :, offs].set(ks[:, :, 0])
+        vs_pool = vs_pool.at[pids, :, offs].set(vs[:, :, 0])
+    else:
+        k_pages = k_pages.at[pids, :, offs].set(
+            k_new.astype(k_pages.dtype))
+        v_pages = v_pages.at[pids, :, offs].set(
+            v_new.astype(v_pages.dtype))
     return dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages, k_scale=ks_pool,
         v_scale=vs_pool, lengths=cache.lengths + 1)

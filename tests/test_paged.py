@@ -18,10 +18,12 @@ MAX_PAGES = 6
 
 
 def paginate(k, v, lengths, rng):
-    """Scatter contiguous [B,Hkv,N,d] caches into a shuffled page pool."""
+    """Scatter the LIVE prefix of contiguous [B,Hkv,N,d] caches into a
+    shuffled page pool: only ceil(length/PAGE) pages per row hold real
+    data — everything else (spare pages, junk table entries, the tail of
+    the last live page) is garbage the kernel must mask/ignore."""
     b, hkv, n, d = k.shape
-    n_pages_per = -(-n // PAGE)
-    total = b * MAX_PAGES + 3  # spare pages stay garbage
+    total = b * MAX_PAGES + 3
     order = rng.permutation(total)
     k_pool = np.asarray(
         rng.uniform(-9, 9, (total, hkv, PAGE, d)), np.float32)
@@ -29,12 +31,13 @@ def paginate(k, v, lengths, rng):
     table = np.zeros((b, MAX_PAGES), np.int32)
     slot = 0
     for i in range(b):
+        live_pages = -(-int(lengths[i]) // PAGE)
         for p in range(MAX_PAGES):
-            if p < n_pages_per:
+            if p < live_pages:
                 pid = int(order[slot]); slot += 1
                 table[i, p] = pid
                 lo = p * PAGE
-                hi = min(n, lo + PAGE)
+                hi = min(int(lengths[i]), lo + PAGE)
                 k_pool[pid, :, :hi - lo] = np.asarray(k[i, :, lo:hi])
                 v_pool[pid, :, :hi - lo] = np.asarray(v[i, :, lo:hi])
             else:
@@ -169,3 +172,45 @@ def test_paged_cache_quantized_lifecycle():
     vf = jnp.repeat(jnp.asarray(np.stack(vs, 2)), h // hkv, 1)
     r, _ = naive_attention(q[:, :, None], kf, vf)
     assert_close(o, r[:, :, 0], 5e-3, name="quantized lifecycle")
+
+
+def test_allocator_capacity_and_leak_guard():
+    """Regressions from review: (a) exceeding table capacity must raise,
+    not silently corrupt live pages; (b) a multi-token reservation that
+    crosses a page boundary must not leak its page when fewer tokens
+    arrive before the next reserve."""
+    from cuda_flashattention_tpu.ops.paged import (
+        PageAllocator, init_paged_cache, paged_append)
+    b, hkv, page, maxp, d = 1, 1, 4, 2, 8  # capacity: 8 tokens
+    cache = init_paged_cache(n_pages=8, batch=b, max_pages=maxp,
+                             heads_kv=hkv, page_size=page, d=d,
+                             dtype=jnp.float32)
+    alloc = PageAllocator(8)
+
+    # (b) leak guard: reserve 2 tokens at length 3 (allocates page slot 1),
+    # append only one, reserve again — slot 1 must NOT be re-allocated
+    for _ in range(3):
+        cache = alloc.reserve_for(cache, 0, 1)
+        cache = paged_append(cache, jnp.zeros((b, hkv, d)),
+                             jnp.zeros((b, hkv, d)))
+    free0 = len(alloc.free)
+    cache = alloc.reserve_for(cache, 0, 2)   # crosses into page 1
+    assert len(alloc.free) == free0 - 1
+    cache = paged_append(cache, jnp.zeros((b, hkv, d)),
+                         jnp.zeros((b, hkv, d)))  # only 1 of the 2
+    cache = alloc.reserve_for(cache, 0, 1)   # must reuse slot 1
+    assert len(alloc.free) == free0 - 1, "page leaked on re-reserve"
+
+    # (a) capacity: grow to 8 (full), then one more must raise
+    for _ in range(4):
+        cache = alloc.reserve_for(cache, 0, 1)
+        cache = paged_append(cache, jnp.zeros((b, hkv, d)),
+                             jnp.zeros((b, hkv, d)))
+    assert int(cache.lengths[0]) == 8
+    with pytest.raises(ValueError):
+        alloc.reserve_for(cache, 0, 1)
+
+    # release returns ALL assigned pages (both slots)
+    n_free_before = len(alloc.free)
+    cache = alloc.release_sequence(cache, 0)
+    assert len(alloc.free) == n_free_before + 2
