@@ -373,3 +373,64 @@ def paged_decode_step(q: jnp.ndarray, cache: PagedKVCache,
         q, cache.k_pages, cache.v_pages, cache.page_table, cache.lengths,
         k_scale=cache.k_scale, v_scale=cache.v_scale, scale=scale,
         interpret=interpret)
+
+
+def paged_bulk_append(cache: PagedKVCache, k_new: jnp.ndarray,
+                      v_new: jnp.ndarray) -> PagedKVCache:
+    """Append T tokens per sequence (k/v [B, Hkv, T, d]) — the paged
+    PREFILL write. Requires every sequence's current length to be
+    page-aligned (chunked prefill naturally uses page-aligned chunks);
+    the caller must have reserved ceil(T/page_size) pages per sequence.
+    One batched scatter per touched page slot."""
+    from cuda_flashattention_tpu.ops.quant import quantize_tensor
+    b, _, t, _ = k_new.shape
+    ps = cache.page_size
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    ks_pool, vs_pool = cache.k_scale, cache.v_scale
+    base = cache.lengths // ps  # page-aligned start slot per sequence
+    rows = jnp.arange(b)
+    for p in range(-(-t // ps)):
+        w = min(ps, t - p * ps)
+        pids = cache.page_table[rows, base + p]
+        kc = k_new[:, :, p * ps:p * ps + w]
+        vc = v_new[:, :, p * ps:p * ps + w]
+        if cache.quantized:
+            qtype = "int8" if k_pages.dtype == jnp.int8 else "fp8"
+            kq, ks = quantize_tensor(kc, qtype)
+            vq, vs = quantize_tensor(vc, qtype)
+            k_pages = k_pages.at[pids, :, :w].set(
+                kq.astype(k_pages.dtype))
+            v_pages = v_pages.at[pids, :, :w].set(
+                vq.astype(v_pages.dtype))
+            ks_pool = ks_pool.at[pids, :, :w].set(ks)
+            vs_pool = vs_pool.at[pids, :, :w].set(vs)
+        else:
+            k_pages = k_pages.at[pids, :, :w].set(
+                kc.astype(k_pages.dtype))
+            v_pages = v_pages.at[pids, :, :w].set(
+                vc.astype(v_pages.dtype))
+    return dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages, k_scale=ks_pool,
+        v_scale=vs_pool, lengths=cache.lengths + t)
+
+
+def paged_prefix_attention(q: jnp.ndarray, cache: PagedKVCache,
+                           scale: Optional[float] = None,
+                           interpret: Optional[bool] = None):
+    """Attend a CHUNK of queries (q [B, H, C, d]) against the whole live
+    paged cache (every cached token precedes the chunk, so the prefix is
+    fully visible — no mask beyond the live length). Returns
+    (o [B,H,C,d], lse [B,H,C]) for log-space combination with the chunk's
+    own causal self-attention (parallel.ring.combine_partials), i.e. the
+    paged counterpart of models.transformer.prefill_chunk's prefix term.
+
+    Implementation: chunk rows fold into the paged decode kernel's row
+    dimension — the kernel is row-count agnostic since all rows share
+    the same visible key set."""
+    b, h, c, d = q.shape
+    o, lse = paged_decode_attention(
+        q.reshape(b, h * c, d), cache.k_pages, cache.v_pages,
+        cache.page_table, cache.lengths,
+        k_scale=cache.k_scale, v_scale=cache.v_scale, scale=scale,
+        interpret=interpret)
+    return o.reshape(b, h, c, d), lse.reshape(b, h, c)

@@ -214,3 +214,53 @@ def test_allocator_capacity_and_leak_guard():
     n_free_before = len(alloc.free)
     cache = alloc.release_sequence(cache, 0)
     assert len(alloc.free) == n_free_before + 2
+
+
+def test_paged_prefill_flow():
+    """Paged chunked-prefill building blocks: page-aligned bulk appends
+    of prompt chunks, then a chunk of queries attending the paged prefix
+    + itself causally (log-space combine) == contiguous causal attention
+    over the whole prompt."""
+    from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
+    from cuda_flashattention_tpu.ops.paged import (
+        PageAllocator, init_paged_cache, paged_bulk_append,
+        paged_prefix_attention)
+    from cuda_flashattention_tpu.parallel.ring import combine_partials
+
+    b, hkv, h, page, maxp, d = 2, 2, 4, 16, 4, 16
+    chunk = 32  # 2 pages per chunk — page-aligned
+    rng = np.random.default_rng(9)
+    n = 2 * chunk
+    q_all = jnp.asarray(rng.uniform(-1, 1, (b, h, n, d)), jnp.float32)
+    k_all = jnp.asarray(rng.uniform(-1, 1, (b, hkv, n, d)), jnp.float32)
+    v_all = jnp.asarray(rng.uniform(-1, 1, (b, hkv, n, d)), jnp.float32)
+
+    cache = init_paged_cache(n_pages=12, batch=b, max_pages=maxp,
+                             heads_kv=hkv, page_size=page, d=d,
+                             dtype=jnp.float32)
+    alloc = PageAllocator(12)
+    outs = []
+    for s in range(0, n, chunk):
+        qc = q_all[:, :, s:s + chunk]
+        kc = k_all[:, :, s:s + chunk]
+        vc = v_all[:, :, s:s + chunk]
+        # chunk self-attention (local causal)
+        o_new, lse_new = flash_attention_forward(
+            qc, kc, vc, causal=True, out_dtype=jnp.float32)
+        if s > 0:
+            o_old, lse_old = paged_prefix_attention(qc, cache)
+            o_c, _ = combine_partials(o_old.astype(jnp.float32),
+                                      lse_old, o_new, lse_new)
+        else:
+            o_c = o_new
+        outs.append(o_c)
+        for i in range(b):
+            cache = alloc.reserve_for(cache, i, chunk)
+        cache = paged_bulk_append(cache, kc, vc)
+
+    o_paged = jnp.concatenate(outs, axis=2)
+    kf = jnp.repeat(k_all, h // hkv, 1)
+    vf = jnp.repeat(v_all, h // hkv, 1)
+    o_ref, _ = flash_attention_forward(q_all, kf, vf, causal=True,
+                                       out_dtype=jnp.float32)
+    assert_close(o_paged, o_ref, 1e-4, name="paged chunked prefill")
