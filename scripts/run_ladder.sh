@@ -5,7 +5,7 @@
 # by default; set CFA_EXAMPLES_TPU=1 to run single-chip stages on the TPU,
 # or use scripts/launch_multihost.py for real multi-process execution.
 #
-# Usage: ./scripts/run_ladder.sh [0|1|2|3|4|5|all]
+# Usage: ./scripts/run_ladder.sh [0|1|2|3|4|5|6|all]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -17,6 +17,7 @@ declare -a STAGES=(
   "examples/03_attention_1chip.py"
   "examples/04_ring_attention.py"
   "examples/05_generate.py"
+  "examples/06_paged_serving.py"
 )
 
 run_stage() {

@@ -19,6 +19,7 @@ STAGES = [
     "examples/03_attention_1chip.py",
     "examples/04_ring_attention.py",
     "examples/05_generate.py",
+    "examples/06_paged_serving.py",
 ]
 
 
