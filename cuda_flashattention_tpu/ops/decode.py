@@ -48,7 +48,6 @@ def _decode_kernel(
     scale: float,
     block_k: int,
     quantized: bool,
-    scale_cols: bool,
     group: int,
     window: int,  # 0 = attend whole live context; else last `window` toks
 ):
@@ -88,16 +87,14 @@ def _decode_kernel(
         if quantized:
             k = dequant_cast(k, cd)
             v = dequant_cast(v, cd)
-            if scale_cols:
-                # small-block fallback: sublane-major (Bk,1) scales fold
-                # into K/V directly (see flash_fwd layout note)
-                k = k * k_scale_ref[0, 0].astype(cd)
-                v = v * v_scale_ref[0, 0].astype(cd)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # (G, Bk)
-        if quantized and not scale_cols:
+        if quantized:
+            # lane-major (1, Bk) per-token scales folded into S/P — the
+            # host forces Bk % 128 == 0 for quantized caches so this
+            # layout is always legal (docs/MEMO.md #12)
             s = s * k_scale_ref[0, 0]
         # mask the tail of the last valid block (dynamic length) and,
         # with a window, the stale prefix of the first visible block
@@ -117,7 +114,7 @@ def _decode_kernel(
             l_s[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
             l_s.shape)
         m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
-        if quantized and not scale_cols:
+        if quantized:
             p = p * v_scale_ref[0, 0]
         acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
             p.astype(cd), v, (((1,), (0,)), ((), ())),
@@ -214,28 +211,20 @@ def decode_attention(
         pl.BlockSpec((1, 1, block_k, d), kv_index),
     ]
     inputs = [q_g, k_p, v_p]
-    scale_cols = block_k % 128 != 0
     if quantized:
+        # lane-major [B,Hkv,1,N] scale rows (block_k is 128-aligned above)
         for sc in (k_scale, v_scale):
-            if scale_cols:
-                sc = pad_to_block(sc[..., None].astype(jnp.float32), 2,
-                                  block_k, value=1.0)
-                inputs.append(sc)
-                in_specs.append(pl.BlockSpec((1, 1, block_k, 1),
-                                             kv_index))
-            else:
-                sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32),
-                                  3, block_k, value=1.0)
-                inputs.append(sc)
-                in_specs.append(pl.BlockSpec(
-                    (1, 1, 1, block_k),
-                    lambda bb, hh, ik, len_ref: (
-                        bb, hh, 0, clamp_ik(ik, len_ref, bb))))
+            sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32),
+                              3, block_k, value=1.0)
+            inputs.append(sc)
+            in_specs.append(pl.BlockSpec(
+                (1, 1, 1, block_k),
+                lambda bb, hh, ik, len_ref: (
+                    bb, hh, 0, clamp_ik(ik, len_ref, bb))))
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_k=block_k,
-        quantized=quantized, scale_cols=quantized and scale_cols,
-        group=group, window=window)
+        quantized=quantized, group=group, window=window)
 
     o, lse = pl.pallas_call(
         kernel,

@@ -36,6 +36,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -64,20 +65,31 @@ def _fwd_kernel(
     nk_valid: int,
     block_q: int,
     block_k: int,
+    nk_blocks: int,
     quantized: bool,
-    scale_cols: bool,
     segmented: bool,
+    compact: bool,
 ):
     refs = list(refs)
+    if compact:
+        # Compact (banded) causal grid: axis 2 walks only the VISIBLE
+        # (iq, ik) tile pairs, enumerated host-side into two prefetched
+        # scalar maps. The dense grid instead ticks through every
+        # (iq, ik) pair and skips ~half of them with @pl.when — the
+        # skipped steps still cost grid/pipeline overhead, which is what
+        # capped causal throughput (VERDICT r1 #3).
+        iq_map_ref, ik_map_ref = refs[:2]
+        refs = refs[2:]
     q_ref, k_ref, v_ref = refs[:3]
     refs = refs[3:]
     if quantized:
         # K/V arrive quantized (int8 / fp8) with per-token fp32 scales.
-        # Production (scale_cols=False): scales are lane-major [B,Hkv,1,N]
-        # (1,Bk) rows and dequant FOLDS into the matmuls:
-        # S = (Q·K_qᵀ) ⊙ σ_kᵀ, O += (P ⊙ σ_vᵀ)·V_q. Small-block fallback
-        # (scale_cols=True, Bk % 128 != 0): scales are sublane-major
-        # (Bk,1) columns multiplied into K/V directly. int8/fp8 → bf16
+        # Scales are lane-major [B,Hkv,1,N] (1,Bk) rows (the host forces
+        # Bk % 128 == 0 for quantized inputs, so this layout is always
+        # legal — a sublane-major [N,1] layout stores one fp32 per (8,128)
+        # tile row, 128x the VMEM/DMA, and measured 5x slower:
+        # docs/MEMO.md #12) and dequant FOLDS into the matmuls:
+        # S = (Q·K_qᵀ) ⊙ σ_kᵀ, O += (P ⊙ σ_vᵀ)·V_q. int8/fp8 → bf16
         # casts are exact, so no precision is lost beyond the MXU.
         k_scale_ref, v_scale_ref = refs[:2]
         refs = refs[2:]
@@ -92,11 +104,23 @@ def _fwd_kernel(
     else:
         qseg_ref = kseg_ref = None
     (o_ref, lse_ref, m_scratch, l_scratch, acc_scratch) = refs
-    iq = pl.program_id(2)
-    ik = pl.program_id(3)
-    nk_blocks = pl.num_programs(3)
+    if compact:
+        t = pl.program_id(2)
+        nt = pl.num_programs(2)
+        iq = iq_map_ref[t]
+        ik = ik_map_ref[t]
+        # first/last step of this Q block = where the iq map changes
+        is_first = jnp.logical_or(
+            t == 0, iq_map_ref[jnp.maximum(t - 1, 0)] != iq)
+        is_last = jnp.logical_or(
+            t == nt - 1, iq_map_ref[jnp.minimum(t + 1, nt - 1)] != iq)
+    else:
+        iq = pl.program_id(2)
+        ik = pl.program_id(3)
+        is_first = ik == 0
+        is_last = ik == nk_blocks - 1
 
-    @pl.when(ik == 0)
+    @pl.when(is_first)
     def _init():
         # -inf init done in-kernel; the reference needs a dedicated fill
         # kernel because cudaMemset can't write -inf (ref: memo.md:1).
@@ -126,14 +150,6 @@ def _fwd_kernel(
         if quantized:
             k = dequant_cast(k, cd)
             v = dequant_cast(v, cd)
-            if scale_cols:
-                # small-block fallback (Bk % 128 != 0 — test configs):
-                # sublane-major (Bk,1) scales fold into K/V directly.
-                # Production uses lane-major (1,Bk) rows on S/P — the
-                # [N,1] layout wastes 128x VMEM/DMA (one fp32 per
-                # (8,128) tile row) and measured 5x slower at scale.
-                k = k * k_scale_ref[0, 0].astype(cd)
-                v = v * v_scale_ref[0, 0].astype(cd)
 
         # S = Q·Kᵀ on the MXU with fp32 accumulation
         # (ref: process_kv_block attention_helper.h:62-76). The softmax
@@ -144,7 +160,7 @@ def _fwd_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (Bq, Bk)
-        if quantized and not scale_cols:
+        if quantized:
             s = s * k_scale_ref[0, 0]  # (1, Bk) per-token dequant, folded
 
         def update(s, guarded: bool):
@@ -175,7 +191,7 @@ def _fwd_kernel(
             l_scratch[...] = jnp.broadcast_to(l_next, l_scratch.shape)
             # P·V accumulate (ref: kernel.cu:244-260). P is cast to the
             # input dtype so the MXU runs at full rate; acc stays fp32.
-            if quantized and not scale_cols:
+            if quantized:
                 p = p * v_scale_ref[0, 0]  # per-token dequant, folded
             pv = jax.lax.dot_general(
                 p.astype(cd), v, (((1,), (0,)), ((), ())),
@@ -228,7 +244,8 @@ def _fwd_kernel(
             needs_mask = straddle
         if not segmented and nk_valid % block_k != 0:
             tail = ik == nk_blocks - 1
-            needs_mask = tail if needs_mask is None else (needs_mask | tail)
+            needs_mask = (tail if needs_mask is None
+                          else (needs_mask | jnp.asarray(tail)))
 
         if needs_mask is None:
             update(s, guarded=False)
@@ -243,7 +260,7 @@ def _fwd_kernel(
             def _fast():
                 update(s, guarded=False)
 
-    @pl.when(ik == nk_blocks - 1)
+    @pl.when(is_last)
     def _epilogue():
         # O ← O_acc / l and L ← m + log l, written once at the end
         # (ref: kernel.cu:280-296). m is in log2 units; LSE is emitted in
@@ -329,7 +346,71 @@ def flash_attention_forward(
     k_p = pad_to_block(k, 2, block_k)
     v_p = pad_to_block(v, 2, block_k)
     nq_p, nk_p = q_p.shape[2], k_p.shape[2]
-    grid = (b, h, nq_p // block_q, nk_p // block_k)
+    nqb, nkb = nq_p // block_q, nk_p // block_k
+
+    # Causal runs on a COMPACT grid: the host enumerates only the visible
+    # (iq, ik) tile pairs of the causal band (plus one masked placeholder
+    # step for Q blocks with nothing visible, so their O/LSE still get
+    # written) into two scalar-prefetched maps. The dense grid's skipped
+    # steps cost real pipeline time — switching to the band grid is what
+    # lifted causal throughput past the VERDICT r1 #3 bar. Non-causal
+    # keeps the plain dense grid (every pair is live).
+    compact = bool(causal)
+    if compact:
+        iq_list, ik_list = [], []
+        for iq in range(nqb):
+            q_first = iq * block_q + kv_offset
+            q_last = q_first + block_q - 1
+            hi = min(nkb - 1, q_last // block_k)
+            lo = max(0, (q_first - window + 1) // block_k) if window else 0
+            if hi < lo:
+                # nothing visible (Q precedes this KV shard, or the
+                # window lies wholly outside it): one placeholder step —
+                # block_visible is False there, the epilogue emits
+                # O=0 / LSE=-inf
+                iq_list.append(iq)
+                ik_list.append(0)
+            else:
+                iq_list.extend([iq] * (hi - lo + 1))
+                ik_list.extend(range(lo, hi + 1))
+        iq_map = jnp.asarray(np.asarray(iq_list, np.int32))
+        ik_map = jnp.asarray(np.asarray(ik_list, np.int32))
+        n_steps = len(iq_list)
+        grid = (b, h, n_steps)
+
+        def qmap(bb, hh, t, iq_m, ik_m):
+            return (bb, hh, iq_m[t], 0)
+
+        def kvmap(bb, hh, t, iq_m, ik_m, g=group):
+            return (bb, hh // g, ik_m[t], 0)
+
+        def scmap(bb, hh, t, iq_m, ik_m, g=group):
+            return (bb, hh // g, 0, ik_m[t])
+
+        def qsegmap(bb, hh, t, iq_m, ik_m):
+            return (bb, iq_m[t], 0)
+
+        def ksegmap(bb, hh, t, iq_m, ik_m):
+            return (bb, ik_m[t], 0)
+        kv_tiles = n_steps  # for the cost estimate
+    else:
+        grid = (b, h, nqb, nkb)
+
+        def qmap(bb, hh, iq, ik):
+            return (bb, hh, iq, 0)
+
+        def kvmap(bb, hh, iq, ik, g=group):
+            return (bb, hh // g, ik, 0)
+
+        def scmap(bb, hh, iq, ik, g=group):
+            return (bb, hh // g, 0, ik)
+
+        def qsegmap(bb, hh, iq, ik):
+            return (bb, iq, 0)
+
+        def ksegmap(bb, hh, iq, ik):
+            return (bb, ik, 0)
+        kv_tiles = nqb * nkb
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -340,62 +421,26 @@ def flash_attention_forward(
         nk_valid=nk,
         block_q=block_q,
         block_k=block_k,
+        nk_blocks=nkb,
         quantized=quantized,
-        scale_cols=quantized and block_k % 128 != 0,
         segmented=segmented,
+        compact=compact,
     )
-
-    # Under causal masking, KV blocks beyond the diagonal contribute
-    # nothing; clamping their block index to the causal frontier makes
-    # consecutive tail steps map to the SAME block, and the Pallas
-    # pipeline skips the redundant HBM→VMEM fetches (the compute for
-    # those steps is already skipped by @pl.when(block_visible)).
-    if causal:
-        def kv_block_idx(iq, ik):
-            hi = ((iq + 1) * block_q - 1 + kv_offset) // block_k
-            ikc = jnp.minimum(ik, hi)
-            if window:
-                # blocks before the window's lower frontier are skipped
-                # too — clamp from below so their DMAs also dedupe
-                lo = jnp.maximum(
-                    0, (iq * block_q + kv_offset - window + 1) // block_k)
-                ikc = jnp.maximum(ikc, jnp.minimum(lo, hi))
-            return ikc
-    else:
-        def kv_block_idx(iq, ik):
-            return ik
 
     inputs = [q_p, k_p, v_p]
     scale_specs = []
     if quantized:
         # scales laid out lane-major [B,Hkv,1,N] so each block is a
-        # (1, Bk) row. TPU requires the block's last dim to divide 128
-        # or equal the array dim; when Bk isn't 128-aligned (tiny test
-        # configs — production blocks are 2048/8192) the whole padded
-        # row is the block and the kernel slices it per step.
-        scale_cols = block_k % 128 != 0
+        # (1, Bk) row — always legal because block_k is forced 128-aligned
+        # for quantized inputs above (docs/MEMO.md #12).
         for sc in (k_scale, v_scale):
             if sc.shape != (b, h_kv, nk):
                 raise ValueError(
                     f"scale shape {sc.shape} != {(b, h_kv, nk)}")
-            if scale_cols:
-                sc = pad_to_block(sc[..., None].astype(jnp.float32), 2,
-                                  block_k, value=1.0)
-                inputs.append(sc)
-                scale_specs.append(pl.BlockSpec(
-                    (1, 1, block_k, 1),
-                    lambda bb, hh, iq, ik, g=group: (
-                        bb, hh // g, kv_block_idx(iq, ik), 0),
-                ))
-            else:
-                sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32),
-                                  3, block_k, value=1.0)
-                inputs.append(sc)
-                scale_specs.append(pl.BlockSpec(
-                    (1, 1, 1, block_k),
-                    lambda bb, hh, iq, ik, g=group: (
-                        bb, hh // g, 0, kv_block_idx(iq, ik)),
-                ))
+            sc = pad_to_block(sc[:, :, None, :].astype(jnp.float32),
+                              3, block_k, value=1.0)
+            inputs.append(sc)
+            scale_specs.append(pl.BlockSpec((1, 1, 1, block_k), scmap))
     if segmented:
         # q ids [B, Nq, 1] (padded with -1) / kv ids [B, 1, Nk] (padded
         # with -2): distinct pad ids so padded q rows match nothing
@@ -406,72 +451,67 @@ def flash_attention_forward(
             jnp.asarray(kv_segment_ids, jnp.int32)[:, :, None], 1, block_k,
             value=-2)
         inputs.append(qs)
-        scale_specs.append(pl.BlockSpec(
-            (1, block_q, 1), lambda bb, hh, iq, ik: (bb, iq, 0)))
+        scale_specs.append(pl.BlockSpec((1, block_q, 1), qsegmap))
         inputs.append(ks)
-        scale_specs.append(pl.BlockSpec(
-            (1, block_k, 1),
-            lambda bb, hh, iq, ik: (bb, kv_block_idx(iq, ik), 0)))
+        scale_specs.append(pl.BlockSpec((1, block_k, 1), ksegmap))
+
+    in_specs = [
+        pl.BlockSpec((1, 1, block_q, d), qmap),
+        pl.BlockSpec((1, 1, block_k, d), kvmap),
+        pl.BlockSpec((1, 1, block_k, d), kvmap),
+        *scale_specs,
+    ]
+    out_specs = [
+        pl.BlockSpec((1, 1, block_q, d), qmap),
+        # LSE as [B,H,Nq,1]: trailing dim 1 == array dim satisfies the
+        # TPU (8,128) block-divisibility rule without the 128-wide
+        # replication the stock jax kernel pays for its residuals.
+        pl.BlockSpec((1, 1, block_q, 1), qmap),
+    ]
+    scratch_shapes = [
+        pltpu.VMEM((block_q, 128), jnp.float32),  # m
+        pltpu.VMEM((block_q, 128), jnp.float32),  # l
+        pltpu.VMEM((block_q, d), jnp.float32),    # O accumulator
+    ]
+    if compact:
+        grid_kw = dict(grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
+        ))
+        call_inputs = [iq_map, ik_map, *inputs]
+        semantics = ("parallel", "parallel", "arbitrary")
+    else:
+        grid_kw = dict(grid=grid, in_specs=in_specs, out_specs=out_specs,
+                       scratch_shapes=scratch_shapes)
+        call_inputs = inputs
+        semantics = ("parallel", "parallel", "parallel", "arbitrary")
 
     o, lse = pl.pallas_call(
         kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d),
-                lambda bb, hh, iq, ik: (bb, hh, iq, 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d),
-                lambda bb, hh, iq, ik, g=group: (
-                    bb, hh // g, kv_block_idx(iq, ik), 0),
-            ),
-            pl.BlockSpec(
-                (1, 1, block_k, d),
-                lambda bb, hh, iq, ik, g=group: (
-                    bb, hh // g, kv_block_idx(iq, ik), 0),
-            ),
-            *scale_specs,
-        ],
-        out_specs=[
-            pl.BlockSpec(
-                (1, 1, block_q, d),
-                lambda bb, hh, iq, ik: (bb, hh, iq, 0),
-            ),
-            # LSE as [B,H,Nq,1]: trailing dim 1 == array dim satisfies the
-            # TPU (8,128) block-divisibility rule without the 128-wide
-            # replication the stock jax kernel pays for its residuals.
-            pl.BlockSpec(
-                (1, 1, block_q, 1),
-                lambda bb, hh, iq, ik: (bb, hh, iq, 0),
-            ),
-        ],
         out_shape=[
             jax.ShapeDtypeStruct((b, h, nq_p, d), out_dtype),
             jax.ShapeDtypeStruct((b, h, nq_p, 1), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((block_q, 128), jnp.float32),  # m
-            pltpu.VMEM((block_q, 128), jnp.float32),  # l
-            pltpu.VMEM((block_q, d), jnp.float32),    # O accumulator
-        ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel",
-                                 "arbitrary"),
+            dimension_semantics=semantics,
             # Mosaic's default scoped-VMEM limit is 16 MiB — well under
             # the chip's physical VMEM — and it, not the hardware, is
             # what rejected (Bq,Bk) ≥ (512,2048) causal (docs/MEMO.md).
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * nq_p * nk_p * d,
+            flops=4 * b * h * kv_tiles * block_q * block_k * d,
             bytes_accessed=(q_p.size * q_p.dtype.itemsize
                             + k_p.size * k_p.dtype.itemsize
                             + v_p.size * v_p.dtype.itemsize
                             + b * h * nq_p * d * jnp.dtype(out_dtype).itemsize),
-            transcendentals=b * h * nq_p * nk_p,
+            transcendentals=b * h * kv_tiles * block_q * block_k,
         ),
         interpret=interpret,
-    )(*inputs)
+        **grid_kw,
+    )(*call_inputs)
 
     return o[:, :, :nq], lse[:, :, :nq, 0]

@@ -74,12 +74,19 @@ def append(cache: KVCache, k_new: jnp.ndarray,
     Quantizes at append time when the cache is quantized. Donate `cache`
     at the jit boundary for true in-place HBM updates.
 
-    Appending past max_len follows `lax.dynamic_update_slice` semantics
-    (the write start is clamped, overwriting the tail); `length` is
-    clamped to max_len so reads stay in bounds — callers are expected to
-    size max_len up front (static shapes are an XLA requirement).
+    Overflow: with a concrete `length` (host-side serving drivers), an
+    append past max_len raises. Under jit the length is traced and a
+    data-dependent raise is impossible (XLA static shapes), so the write
+    start is clamped and `length` saturates at max_len — jitted serving
+    loops must pre-check capacity host-side the way models/generate.py
+    does (max_len >= prompt + max_new_tokens before the scan).
     """
     t = k_new.shape[2]
+    if not isinstance(cache.length, jax.core.Tracer):
+        if int(cache.length) + t > cache.max_len:
+            raise ValueError(
+                f"KV cache overflow: append of {t} tokens at length "
+                f"{int(cache.length)} exceeds max_len {cache.max_len}")
     pos = jnp.minimum(cache.length, cache.max_len - t)
     if cache.quantized:
         qtype = "int8" if cache.k.dtype == jnp.int8 else "fp8"

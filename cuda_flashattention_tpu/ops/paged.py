@@ -294,6 +294,14 @@ class PageAllocator:
                 f"sequence {batch_idx} needs {pages_need} pages for "
                 f"{have + new_tokens} tokens but the table holds only "
                 f"{max_pages} (capacity {max_pages * ps} tokens)")
+        if pages_need - pages_now > len(self.free):
+            # pre-check so a mid-reservation failure can't strand pages
+            # in a discarded table copy (they'd leave the free list but
+            # never be recorded anywhere reclaimable)
+            raise RuntimeError(
+                f"page pool exhausted: sequence {batch_idx} needs "
+                f"{pages_need - pages_now} more pages, {len(self.free)} "
+                f"free")
         table = cache.page_table
         for p in range(pages_now, pages_need):
             table = table.at[batch_idx, p].set(self.alloc())
@@ -385,6 +393,17 @@ def paged_bulk_append(cache: PagedKVCache, k_new: jnp.ndarray,
     from cuda_flashattention_tpu.ops.quant import quantize_tensor
     b, _, t, _ = k_new.shape
     ps = cache.page_size
+    if not isinstance(cache.lengths, jax.core.Tracer):
+        # the page-aligned-start precondition is enforceable whenever the
+        # lengths are host-visible (the serving-driver path): a
+        # non-aligned start would write chunk data at offset 0 of the
+        # base page, clobbering that page's earlier live tokens
+        off = np.asarray(cache.lengths) % ps
+        if off.any():
+            raise ValueError(
+                f"paged_bulk_append requires page-aligned lengths "
+                f"(page_size={ps}); got offsets {off.tolist()} — prefill "
+                f"in page-aligned chunks or use paged_append per token")
     k_pages, v_pages = cache.k_pages, cache.v_pages
     ks_pool, vs_pool = cache.k_scale, cache.v_scale
     base = cache.lengths // ps  # page-aligned start slot per sequence

@@ -56,6 +56,18 @@ def restore(path: str, like: Any) -> Any:
         return ckptr.restore(path, target=like)
     data = np.load(path if path.endswith(".npz") else path + ".npz")
     flat, treedef = jax.tree_util.tree_flatten(like)
-    out = [jax.numpy.asarray(data[str(i)], dtype=x.dtype)
-           for i, x in enumerate(flat)]
+    if len(flat) != len(data.files):
+        raise ValueError(
+            f"checkpoint {path} holds {len(data.files)} arrays but `like` "
+            f"has {len(flat)} leaves — structure mismatch (the .npz path "
+            f"keys arrays by flattened-tree position)")
+    out = []
+    for i, x in enumerate(flat):
+        arr = data[str(i)]
+        if tuple(arr.shape) != tuple(np.shape(x)):
+            raise ValueError(
+                f"checkpoint leaf {i}: saved shape {tuple(arr.shape)} != "
+                f"target shape {tuple(np.shape(x))} — `like` does not "
+                f"match the saved tree")
+        out.append(jax.numpy.asarray(arr, dtype=x.dtype))
     return jax.tree_util.tree_unflatten(treedef, out)

@@ -119,3 +119,19 @@ def test_cache_is_pytree():
     k1 = jnp.ones((1, 1, 4, 8), jnp.float32)
     cache3 = step(cache, k1, k1)
     assert int(cache3.length) == 4
+
+
+def test_cache_append_overflow_raises():
+    """Appending past max_len with a concrete length must fail loudly
+    (VERDICT r1 #8) instead of silently clobbering the cache tail. Under
+    jit the length is traced, so the clamp semantics remain (documented);
+    serving loops pre-check capacity host-side (models/generate.py)."""
+    cache = init_cache(1, 1, 8, 8, dtype=jnp.float32)
+    k1 = jnp.ones((1, 1, 6, 8), jnp.float32)
+    cache = append(cache, k1, k1)
+    with pytest.raises(ValueError, match="overflow"):
+        append(cache, k1, k1)  # 6 + 6 > 8
+    # exactly-full is fine
+    k2 = jnp.ones((1, 1, 2, 8), jnp.float32)
+    cache = append(cache, k2, k2)
+    assert int(cache.length) == 8

@@ -264,3 +264,35 @@ def test_paged_prefill_flow():
     o_ref, _ = flash_attention_forward(q_all, kf, vf, causal=True,
                                        out_dtype=jnp.float32)
     assert_close(o_paged, o_ref, 1e-4, name="paged chunked prefill")
+
+
+def test_allocator_pool_exhaustion_no_leak():
+    """reserve_for must pre-check the free list: a mid-reservation
+    failure must not strand already-popped pages (ADVICE r1)."""
+    from cuda_flashattention_tpu.ops.paged import (
+        PageAllocator, init_paged_cache)
+    cache = init_paged_cache(n_pages=2, batch=1, max_pages=8, heads_kv=1,
+                             page_size=2, d=8, dtype=jnp.float32)
+    alloc = PageAllocator(2)
+    n_free = len(alloc.free)
+    with pytest.raises(RuntimeError, match="exhausted"):
+        alloc.reserve_for(cache, 0, 6)  # needs 3 pages, pool has 2
+    assert len(alloc.free) == n_free, "pages leaked by failed reserve"
+
+
+def test_bulk_append_alignment_guard():
+    """paged_bulk_append must reject non-page-aligned write heads when
+    lengths are host-visible (ADVICE r1): a misaligned start would write
+    at offset 0 of the base page, clobbering live tokens."""
+    from cuda_flashattention_tpu.ops.paged import (
+        PageAllocator, init_paged_cache, paged_append, paged_bulk_append)
+    b, hkv, page, d = 1, 1, 4, 8
+    cache = init_paged_cache(n_pages=8, batch=b, max_pages=4, heads_kv=hkv,
+                             page_size=page, d=d, dtype=jnp.float32)
+    alloc = PageAllocator(8)
+    cache = alloc.reserve_for(cache, 0, 1)
+    cache = paged_append(cache, jnp.zeros((b, hkv, d)),
+                         jnp.zeros((b, hkv, d)))  # length now 1: unaligned
+    chunk = jnp.zeros((b, hkv, page, d), jnp.float32)
+    with pytest.raises(ValueError, match="page-aligned"):
+        paged_bulk_append(cache, chunk, chunk)

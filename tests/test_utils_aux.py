@@ -99,3 +99,23 @@ def test_checkpoint_train_resume(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(p2),
                     jax.tree_util.tree_leaves(p2r)):
         assert (np.asarray(a) == np.asarray(b)).all()
+
+
+def test_checkpoint_npz_structure_mismatch(tmp_path, monkeypatch):
+    """The .npz restore path keys arrays by flattened position; a `like`
+    with a different structure or shapes must raise a descriptive error
+    instead of silently mis-assigning arrays (ADVICE r1)."""
+    import numpy as np
+    import pytest as _pytest
+    from cuda_flashattention_tpu.utils import checkpoint as ckpt
+    monkeypatch.setattr(ckpt, "_orbax", lambda: None)  # force .npz path
+    tree = {"a": np.ones((2, 3)), "b": np.zeros((4,))}
+    path = ckpt.save(str(tmp_path / "x"), tree)
+    assert path.endswith(".npz")
+    with _pytest.raises(ValueError, match="leaves"):
+        ckpt.restore(path, like={"a": np.ones((2, 3))})
+    with _pytest.raises(ValueError, match="shape"):
+        ckpt.restore(path, like={"a": np.ones((3, 2)), "b": np.zeros((4,))})
+    out = ckpt.restore(path, like={"a": np.zeros((2, 3)),
+                                   "b": np.zeros((4,))})
+    assert (out["a"] == 1).all()
