@@ -146,6 +146,33 @@ def fp8_to_bf16(x: jnp.ndarray) -> jnp.ndarray:
                                         jnp.bfloat16)
 
 
+# fp8_shift_cast leaves values scaled by 2^-120; callers fold this into
+# their per-token dequant scales (one free host-side multiply).
+FP8_SHIFT = 2.0 ** 120
+
+
+def fp8_shift_cast(x: jnp.ndarray) -> jnp.ndarray:
+    """float8_e4m3fn → bfloat16 · 2^-120, in 5 integer VPU ops.
+
+    Moving the 7 magnitude bits of `s eeee mmm` into bf16's field
+    positions (sign<<8, magnitude<<4) and reading the result at bf16's
+    bias gives EXACTLY value·2^(7-127) — for normals ((1+m/8)·2^(e-7) →
+    (1+16m/128)·2^(e-127)) AND subnormals (m·2^-9 → 16m·2^-133·…), since
+    both interpret the shifted mantissa at their respective minimum
+    exponents. The 2^120 correction folds into the per-token dequant
+    scale that quantized kernels already multiply by, so this replaces
+    the ~12-op rebias surgery of `fp8_to_bf16` at zero extra cost.
+    Caveat: the NaN code (0x7f/0xff) maps to a finite junk value (±480 ·
+    2^-120·2^120); the quantizer never emits NaN (e4m3fn clamps to ±448),
+    so kernels take this path while `dequantize()` keeps `fp8_to_bf16`.
+    Integer muls instead of shifts: Mosaic won't legalize i16 vector
+    shifts (docs/MEMO.md)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint8).astype(jnp.int32)
+    bits = (u & 0x80) * 256 + (u & 0x7f) * 16
+    return jax.lax.bitcast_convert_type(bits.astype(jnp.uint16),
+                                        jnp.bfloat16)
+
+
 def dequant_cast(x: jnp.ndarray, target_dtype) -> jnp.ndarray:
     """Cast a quantized KV block to the compute dtype, routing fp8
     through the fast bit-twiddle when targeting bf16."""

@@ -34,9 +34,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from cuda_flashattention_tpu.ops.common import (
+    FP8_SHIFT,
     NEG_INF,
     default_interpret,
     dequant_cast,
+    fp8_shift_cast,
     resolve_scale,
 )
 
@@ -48,6 +50,7 @@ def _paged_kernel(
     scale: float,
     page_size: int,
     quantized: bool,
+    fp8_fast: bool,
 ):
     if quantized:
         (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
@@ -74,8 +77,14 @@ def _paged_kernel(
         k = k_ref[0, 0]  # (page_size, d) — the DMA'd physical page
         v = v_ref[0, 0]
         if quantized:
-            k = dequant_cast(k, cd)
-            v = dequant_cast(v, cd)
+            if fp8_fast:
+                # 5-op shift cast, 2^120 folded into the scale pools
+                # (ops/common.py fp8_shift_cast)
+                k = fp8_shift_cast(k)
+                v = fp8_shift_cast(v)
+            else:
+                k = dequant_cast(k, cd)
+                v = dequant_cast(v, cd)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -168,6 +177,8 @@ def paged_decode_attention(
         pl.BlockSpec((1, 1, page_size, d), page_index),
     ]
     inputs = [q_g, k_pages, v_pages]
+    fp8_fast = (quantized and k_pages.dtype == jnp.float8_e4m3fn
+                and q.dtype == jnp.bfloat16)
     if quantized:
         # scale pools carried [n_pages, Hkv, 1, page_size]: the (1, page)
         # row block equals the array dims → legal at any page size
@@ -176,7 +187,10 @@ def paged_decode_attention(
                 raise ValueError(
                     f"scale pool shape {sc.shape} != "
                     f"{(n_pool, h_kv, page_size)}")
-            inputs.append(sc[:, :, None, :].astype(jnp.float32))
+            sc = sc.astype(jnp.float32)
+            if fp8_fast:
+                sc = sc * FP8_SHIFT  # undo the shift-cast's 2^-120
+            inputs.append(sc[:, :, None, :])
             in_specs.append(pl.BlockSpec(
                 (1, 1, 1, page_size),
                 lambda bb, hh, ip, len_ref, tab_ref: (
@@ -185,7 +199,7 @@ def paged_decode_attention(
 
     kernel = functools.partial(
         _paged_kernel, scale=scale, page_size=page_size,
-        quantized=quantized)
+        quantized=quantized, fp8_fast=fp8_fast)
 
     o, lse = pl.pallas_call(
         kernel,

@@ -164,10 +164,17 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
         lse = None
         k_cur, v_cur = k, v
         for step in range(max_steps):
-            # Issue next shard's transfer BEFORE this step's compute —
-            # they are independent, so XLA overlaps the collective-permute
-            # with the kernel (the reference emulates this with dual CUDA
-            # streams, ref: ring_attention_kernel.cu:192-218).
+            # Issue next shard's transfer BEFORE this step's compute, and
+            # TIE the permute results to this step's outputs with an
+            # optimization barrier below. Issuing first is not enough:
+            # scheduled v5e HLO shows XLA draining the whole permute
+            # chain back-to-back BEFORE any kernel without the barrier
+            # (start;done;start;done...;kernels — zero overlap). With it,
+            # the schedule becomes start;start;KERNEL;done;done per step —
+            # each transfer is in flight during the step's compute, the
+            # dual-stream pattern the reference builds by hand
+            # (ref: ring_attention_kernel.cu:192-218); evidence in
+            # scripts/check_ring_overlap.py.
             if step < max_steps - 1:
                 k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
                 v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
@@ -176,6 +183,9 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
                 q, k_cur, v_cur, kv_idx, my_idx, scale=scale, causal=causal,
                 window=window, step=step, shard_len=shard_len,
                 block_sizes=block_sizes, interpret=interpret)
+            if step < max_steps - 1:
+                k_nxt, v_nxt, o_s, lse_s = jax.lax.optimization_barrier(
+                    (k_nxt, v_nxt, o_s, lse_s))
             if o is None:
                 o, lse = o_s, lse_s
             else:
@@ -196,19 +206,29 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
         dv_cur = jnp.zeros(v.shape, jnp.float32)
         k_cur, v_cur = k, v
         for step in range(max_steps):
+            # K/V for the NEXT step start rotating before this step's
+            # backward kernels; the barrier after the compute keeps the
+            # transfers in flight during it (see _ring_fwd). dK/dV
+            # accumulators travel AFTER the step (they're updated by it).
+            if step < max_steps - 1:
+                k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
+                v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
             kv_idx = (my_idx - step) % n_shards
             dq_s, dk_s, dv_s = _step_bwd(
                 q, k_cur, v_cur, o, lse, do, kv_idx, my_idx, scale=scale,
                 causal=causal, window=window, step=step,
                 shard_len=shard_len, block_sizes=block_sizes,
                 interpret=interpret)
+            if step < max_steps - 1:
+                k_nxt, v_nxt, dq_s, dk_s, dv_s = (
+                    jax.lax.optimization_barrier(
+                        (k_nxt, v_nxt, dq_s, dk_s, dv_s)))
             dq = dq + dq_s.astype(jnp.float32)
             dk_cur = dk_cur + dk_s.astype(jnp.float32)
             dv_cur = dv_cur + dv_s.astype(jnp.float32)
             if step < max_steps - 1:
                 # dK/dV accumulators travel WITH their KV block.
-                k_cur = jax.lax.ppermute(k_cur, axis_name, perm)
-                v_cur = jax.lax.ppermute(v_cur, axis_name, perm)
+                k_cur, v_cur = k_nxt, v_nxt
                 dk_cur = jax.lax.ppermute(dk_cur, axis_name, perm)
                 dv_cur = jax.lax.ppermute(dv_cur, axis_name, perm)
         # One final permute sends each accumulated dK/dV shard home

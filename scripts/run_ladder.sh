@@ -18,6 +18,7 @@ declare -a STAGES=(
   "examples/04_ring_attention.py"
   "examples/05_generate.py"
   "examples/06_paged_serving.py"
+  "examples/07_device_ring.py"
 )
 
 run_stage() {
