@@ -266,10 +266,6 @@ def prefill_chunk(params: Params, tokens: jnp.ndarray, start: int,
     from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
     from cuda_flashattention_tpu.parallel.ring import combine_partials
 
-    if cfg.window:
-        raise NotImplementedError(
-            "chunked prefill with sliding-window attention is not wired "
-            "yet — use prefill() (whole-prompt), which honours cfg.window")
     b, c = tokens.shape
     x = params["embed"][tokens].astype(cfg.dtype)
     positions = jnp.arange(start, start + c)
@@ -287,19 +283,33 @@ def prefill_chunk(params: Params, tokens: jnp.ndarray, start: int,
         cache = cache_append(cache, kt, vt)
         new_caches.append(cache)
         # self-attention within the chunk: Q and K are both chunk-local,
-        # so this is plain local causal (kv_offset shifts Q against a
-        # GLOBAL key index — that's the ring/sharded-K case, not this one)
+        # so this is plain local causal (with the model's sliding window
+        # if set — local and global window masks coincide because rows
+        # and cols share the `start` offset)
         o_new, lse_new = flash_attention_forward(
-            qt, kt, vt, causal=True,
+            qt, kt, vt, causal=True, window=cfg.window,
             block_sizes=block_sizes, out_dtype=jnp.float32)
         if start > 0:
-            # cached prefix: fully visible, read in storage dtype with
-            # dequant fused into the kernel when quantized
-            ks = (cache.k_scale[:, :, :start] if cache.quantized else None)
-            vs = (cache.v_scale[:, :, :start] if cache.quantized else None)
+            # cached prefix, read in storage dtype with dequant fused
+            # into the kernel when quantized. Without a window the whole
+            # prefix is visible (causal=False). With one, only keys in
+            # (g−W, start) matter: slice the cache to [lo, start) and
+            # express the global band as causal+window with
+            # kv_offset = start − lo (chunk row r is global start+r =
+            # slice-relative (start−lo)+r; prefix cols are all causally
+            # visible, and the window cut col > row − W is exactly the
+            # kernel's mask). Rows whose window misses the prefix come
+            # back LSE=−inf and drop out of the log-space combine.
+            lo = max(0, start - cfg.window) if cfg.window else 0
+            ks = (cache.k_scale[:, :, lo:start] if cache.quantized
+                  else None)
+            vs = (cache.v_scale[:, :, lo:start] if cache.quantized
+                  else None)
             o_old, lse_old = flash_attention_forward(
-                qt, cache.k[:, :, :start], cache.v[:, :, :start],
-                k_scale=ks, v_scale=vs, causal=False,
+                qt, cache.k[:, :, lo:start], cache.v[:, :, lo:start],
+                k_scale=ks, v_scale=vs,
+                causal=bool(cfg.window), window=cfg.window,
+                kv_offset=start - lo,
                 block_sizes=block_sizes, out_dtype=jnp.float32)
             o_c, _ = combine_partials(o_old, lse_old, o_new, lse_new)
         else:

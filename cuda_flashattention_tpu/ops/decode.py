@@ -44,15 +44,83 @@ from cuda_flashattention_tpu.ops.common import (
 )
 
 
+def attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
+                 m_s, l_s, acc_s, *, col0, length, win, scale: float,
+                 quantized: bool, fp8_fast: bool):
+    """One online-softmax update of the decode state against one cache
+    block — THE shared kernel body of contiguous decode (grid over
+    clamped cache blocks) and paged decode (grid over gathered physical
+    pages, ops/paged.py). `col0` is the block's first absolute token,
+    `length` the live context, `win` the window (None = unbounded) — all
+    dynamic scalars."""
+    q = q_ref[0, 0]  # (G, d)
+    cd = q.dtype
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    if quantized:
+        if fp8_fast:
+            # 5-op shift cast, 2^120 folded into the scale rows
+            # (ops/common.py fp8_shift_cast) — dequant was what made
+            # fp8 decode trail int8 at long context (VERDICT r1 #2)
+            k = fp8_shift_cast(k)
+            v = fp8_shift_cast(v)
+        else:
+            k = dequant_cast(k, cd)
+            v = dequant_cast(v, cd)
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (G, Bk)
+    if quantized:
+        # lane-major (1, Bk) per-token scales folded into S/P — the
+        # host forces Bk % 128 == 0 for quantized caches so this
+        # layout is always legal (docs/MEMO.md #12)
+        s = s * k_scale_ref[0, 0]
+    # mask the tail of the last valid block (dynamic length) and, with a
+    # window, the stale prefix of the first visible block
+    col = (jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
+           + col0)
+    ok = col < length
+    if win is not None:
+        ok = jnp.logical_and(ok, col >= length - win)
+    s = jnp.where(ok, s, NEG_INF)
+
+    m_prev = m_s[:, :1]
+    m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_next)
+    p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
+    alpha = jnp.exp(m_prev - m_next)
+    l_s[...] = jnp.broadcast_to(
+        l_s[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
+        l_s.shape)
+    m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
+    if quantized:
+        p = p * v_scale_ref[0, 0]
+    acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+        p.astype(cd), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def decode_epilogue(o_ref, lse_ref, m_s, l_s, acc_s):
+    """Shared decode epilogue: normalise and emit natural-log LSE."""
+    l = l_s[:, :1]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
+    lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
+                              m_s[:, :1] + jnp.log(l_safe))
+
+
 def _decode_kernel(
     len_ref,  # scalar prefetch: lengths [B] int32
+    win_ref,  # scalar prefetch: per-seq windows [B] int32 (or None)
     *refs,
     scale: float,
     block_k: int,
     quantized: bool,
     fp8_fast: bool,
     group: int,
-    window: int,  # 0 = attend whole live context; else last `window` toks
+    windowed: bool,
 ):
     if quantized:
         (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
@@ -65,12 +133,13 @@ def _decode_kernel(
     ik = pl.program_id(2)
     nblk = pl.num_programs(2)
     length = len_ref[b]
+    win = win_ref[b] if windowed else None
 
-    if window:
+    if windowed:
         # windowed: the GRID only spans ceil(window/bk)+1 blocks; each
         # step addresses absolute cache block first+ik (the host's index
         # maps use the same offset), so work is O(window) not O(max_len)
-        first = jnp.maximum(0, (length - window) // block_k)
+        first = jnp.maximum(0, (length - win) // block_k)
         ik = first + ik
 
     @pl.when(pl.program_id(2) == 0)
@@ -83,61 +152,14 @@ def _decode_kernel(
 
     @pl.when(visible)
     def _compute():
-        q = q_ref[0, 0]  # (G, d)
-        cd = q.dtype
-        k = k_ref[0, 0]
-        v = v_ref[0, 0]
-        if quantized:
-            if fp8_fast:
-                # 5-op shift cast, 2^120 folded into the scale rows
-                # (ops/common.py fp8_shift_cast) — dequant was what made
-                # fp8 decode trail int8 at long context (VERDICT r1 #2)
-                k = fp8_shift_cast(k)
-                v = fp8_shift_cast(v)
-            else:
-                k = dequant_cast(k, cd)
-                v = dequant_cast(v, cd)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (G, Bk)
-        if quantized:
-            # lane-major (1, Bk) per-token scales folded into S/P — the
-            # host forces Bk % 128 == 0 for quantized caches so this
-            # layout is always legal (docs/MEMO.md #12)
-            s = s * k_scale_ref[0, 0]
-        # mask the tail of the last valid block (dynamic length) and,
-        # with a window, the stale prefix of the first visible block
-        col = (jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-               + ik * block_k)
-        ok = col < length
-        if window:
-            ok = jnp.logical_and(ok, col >= length - window)
-        s = jnp.where(ok, s, NEG_INF)
-
-        m_prev = m_s[:, :1]
-        m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_next)
-        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
-        alpha = jnp.exp(m_prev - m_next)
-        l_s[...] = jnp.broadcast_to(
-            l_s[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
-            l_s.shape)
-        m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
-        if quantized:
-            p = p * v_scale_ref[0, 0]
-        acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
-            p.astype(cd), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
+                     m_s, l_s, acc_s, col0=ik * block_k, length=length,
+                     win=win, scale=scale, quantized=quantized,
+                     fp8_fast=fp8_fast)
 
     @pl.when(pl.program_id(2) == nblk - 1)
     def _epilogue():
-        l = l_s[:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
-                                  m_s[:, :1] + jnp.log(l_safe))
+        decode_epilogue(o_ref, lse_ref, m_s, l_s, acc_s)
 
 
 @functools.partial(
@@ -154,13 +176,18 @@ def decode_attention(
     scale: Optional[float] = None,
     block_k: int = 8192,
     window: int = 0,
+    windows: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decode step: q [B,H,d] attends to cache k/v [B,Hkv,max_N,d].
 
     `window` > 0 restricts attention to the last `window` live tokens
     (sliding-window serving); off-window cache blocks are neither fetched
-    nor computed.
+    nor computed. `windows` [B] int32 optionally gives PER-SEQUENCE
+    dynamic windows (ring decode derives per-shard effective windows from
+    the shard offset — parallel/ring.py); when both are set, the static
+    `window` bounds the visible span for grid sizing while `windows`
+    drives the masks. A per-seq window ≥ its length means "no window".
 
     `lengths` [B] int32 gives each sequence's live context; cache rows at
     or beyond a sequence's length are never read (clamped index maps) nor
@@ -196,27 +223,37 @@ def decode_attention(
     v_p = pad_to_block(v, 2, block_k)
     max_np = k_p.shape[2]
     nblk = max_np // block_k
+    window = int(window or 0)
+    windowed = window > 0 or windows is not None
     if window:
         # the window spans at most this many blocks (one straddler each
-        # side); the kernel offsets to the right absolute blocks
+        # side); the kernel offsets to the right absolute blocks.
+        # (windows-only callers keep the full grid: the per-seq values
+        # are dynamic, so the span can't bound the grid statically.)
         nblk = min(nblk, cdiv(window, block_k) + 1)
 
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
+    if windowed:
+        win_arr = (jnp.asarray(windows, jnp.int32).reshape(b)
+                   if windows is not None
+                   else jnp.full((b,), window, jnp.int32))
+    else:
+        win_arr = jnp.zeros((b,), jnp.int32)  # prefetched but unused
 
-    window = int(window or 0)
-
-    def clamp_ik(ik, len_ref, bb):
+    def clamp_ik(ik, len_ref, win_ref, bb):
         last = jnp.maximum(pl.cdiv(len_ref[bb], block_k) - 1, 0)
-        if window:
+        if windowed:
             # grid index is window-relative; offset to the absolute block
-            ik = jnp.maximum(0, (len_ref[bb] - window) // block_k) + ik
+            ik = jnp.maximum(
+                0, (len_ref[bb] - win_ref[bb]) // block_k) + ik
         return jnp.minimum(ik, last)
 
-    def kv_index(bb, hh, ik, len_ref):
-        return (bb, hh, clamp_ik(ik, len_ref, bb), 0)
+    def kv_index(bb, hh, ik, len_ref, win_ref):
+        return (bb, hh, clamp_ik(ik, len_ref, win_ref, bb), 0)
 
     in_specs = [
-        pl.BlockSpec((1, 1, g_pad, d), lambda bb, hh, ik, len_ref: (bb, hh, 0, 0)),
+        pl.BlockSpec((1, 1, g_pad, d),
+                     lambda bb, hh, ik, len_ref, win_ref: (bb, hh, 0, 0)),
         pl.BlockSpec((1, 1, block_k, d), kv_index),
         pl.BlockSpec((1, 1, block_k, d), kv_index),
     ]
@@ -233,24 +270,27 @@ def decode_attention(
             inputs.append(sc)
             in_specs.append(pl.BlockSpec(
                 (1, 1, 1, block_k),
-                lambda bb, hh, ik, len_ref: (
-                    bb, hh, 0, clamp_ik(ik, len_ref, bb))))
+                lambda bb, hh, ik, len_ref, win_ref: (
+                    bb, hh, 0, clamp_ik(ik, len_ref, win_ref, bb))))
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_k=block_k,
-        quantized=quantized, fp8_fast=fp8_fast, group=group, window=window)
+        quantized=quantized, fp8_fast=fp8_fast, group=group,
+        windowed=windowed)
 
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
+            num_scalar_prefetch=2,
             grid=(b, h_kv, nblk),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, g_pad, d),
-                             lambda bb, hh, ik, len_ref: (bb, hh, 0, 0)),
+                             lambda bb, hh, ik, len_ref, win_ref: (
+                                 bb, hh, 0, 0)),
                 pl.BlockSpec((1, 1, g_pad, 1),
-                             lambda bb, hh, ik, len_ref: (bb, hh, 0, 0)),
+                             lambda bb, hh, ik, len_ref, win_ref: (
+                                 bb, hh, 0, 0)),
             ],
             scratch_shapes=[
                 pltpu.VMEM((g_pad, 128), jnp.float32),
@@ -269,7 +309,7 @@ def decode_attention(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, *inputs)
+    )(lengths, win_arr, *inputs)
 
     o = o[:, :, :group].reshape(b, h, d)
     lse = lse[:, :, :group, 0].reshape(b, h)

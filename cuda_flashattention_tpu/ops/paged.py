@@ -36,22 +36,30 @@ from jax.experimental.pallas import tpu as pltpu
 from cuda_flashattention_tpu.ops.common import (
     FP8_SHIFT,
     NEG_INF,
+    cdiv,
     default_interpret,
-    dequant_cast,
-    fp8_shift_cast,
     resolve_scale,
+)
+from cuda_flashattention_tpu.ops.decode import (
+    attend_block,
+    decode_epilogue,
 )
 
 
 def _paged_kernel(
     lengths_ref,   # scalar prefetch: [B] int32
+    win_ref,       # scalar prefetch: [B] int32 per-seq windows
     table_ref,     # scalar prefetch: [B, max_pages] int32
     *refs,
     scale: float,
     page_size: int,
     quantized: bool,
     fp8_fast: bool,
+    windowed: bool,
 ):
+    """Paged decode = the contiguous decode kernel body (ops/decode.py
+    attend_block/decode_epilogue) fed by block-table-gathered physical
+    pages instead of clamped contiguous blocks."""
     if quantized:
         (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
          o_ref, lse_ref, m_s, l_s, acc_s) = refs
@@ -63,8 +71,14 @@ def _paged_kernel(
     ip = pl.program_id(2)
     n_pages = pl.num_programs(2)
     length = lengths_ref[b]
+    win = win_ref[b] if windowed else None
+    if windowed:
+        # grid index is window-relative; offset to the absolute logical
+        # page (the host's page_index map applies the same offset), so
+        # work is O(window) pages, not O(max_pages)
+        ip = jnp.maximum(0, (length - win) // page_size) + ip
 
-    @pl.when(ip == 0)
+    @pl.when(pl.program_id(2) == 0)
     def _init():
         m_s[...] = jnp.full_like(m_s, NEG_INF)
         l_s[...] = jnp.zeros_like(l_s)
@@ -72,56 +86,19 @@ def _paged_kernel(
 
     @pl.when(ip * page_size < length)
     def _compute():
-        q = q_ref[0, 0]  # (G, d)
-        cd = q.dtype
-        k = k_ref[0, 0]  # (page_size, d) — the DMA'd physical page
-        v = v_ref[0, 0]
-        if quantized:
-            if fp8_fast:
-                # 5-op shift cast, 2^120 folded into the scale pools
-                # (ops/common.py fp8_shift_cast)
-                k = fp8_shift_cast(k)
-                v = fp8_shift_cast(v)
-            else:
-                k = dequant_cast(k, cd)
-                v = dequant_cast(v, cd)
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # (G, page_size)
-        if quantized:
-            s = s * k_scale_ref[0, 0]  # (1, page_size) per-token
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-        s = jnp.where(col + ip * page_size < length, s, NEG_INF)
+        attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
+                     m_s, l_s, acc_s, col0=ip * page_size, length=length,
+                     win=win, scale=scale, quantized=quantized,
+                     fp8_fast=fp8_fast)
 
-        m_prev = m_s[:, :1]
-        m_next = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_next)
-        p = jnp.where(s > NEG_INF * 0.5, p, 0.0)
-        alpha = jnp.exp(m_prev - m_next)
-        l_s[...] = jnp.broadcast_to(
-            l_s[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True),
-            l_s.shape)
-        m_s[...] = jnp.broadcast_to(m_next, m_s.shape)
-        if quantized:
-            p = p * v_scale_ref[0, 0]
-        acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
-            p.astype(cd), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    @pl.when(ip == n_pages - 1)
+    @pl.when(pl.program_id(2) == n_pages - 1)
     def _epilogue():
-        l = l_s[:, :1]
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, 0] = (acc_s[...] / l_safe).astype(o_ref.dtype)
-        lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
-                                  m_s[:, :1] + jnp.log(l_safe))
+        decode_epilogue(o_ref, lse_ref, m_s, l_s, acc_s)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "interpret"),
+    static_argnames=("scale", "window", "interpret"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,
@@ -132,6 +109,8 @@ def paged_decode_attention(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
+    window: int = 0,
+    windows: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decode step over paged caches.
@@ -141,6 +120,10 @@ def paged_decode_attention(
     beyond a sequence's ceil(length/page_size) pages are ignored);
     lengths [B] int32 live token counts. Optional per-token scale pools
     [n_pages, Hkv, page_size] for int8/fp8 storage.
+
+    `window`/`windows` restrict attention to the last `window` live
+    tokens exactly as in ops/decode.py::decode_attention — off-window
+    pages are neither fetched nor computed (O(window) grid).
 
     Returns (o [B,H,d], lse [B,H]).
     """
@@ -163,16 +146,32 @@ def paged_decode_attention(
 
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
     table = jnp.asarray(page_table, jnp.int32).reshape(b, max_pages)
+    window = int(window or 0)
+    windowed = window > 0 or windows is not None
+    n_grid = max_pages
+    if window:
+        n_grid = min(n_grid, cdiv(window, page_size) + 1)
+    if windowed:
+        win_arr = (jnp.asarray(windows, jnp.int32).reshape(b)
+                   if windows is not None
+                   else jnp.full((b,), window, jnp.int32))
+    else:
+        win_arr = jnp.zeros((b,), jnp.int32)  # prefetched but unused
 
-    def page_index(bb, hh, ip, len_ref, tab_ref):
+    def page_index(bb, hh, ip, len_ref, win_ref, tab_ref):
         # clamp past-the-end logical pages to the last valid one:
         # consecutive identical physical ids → the pipeline skips the DMA
         last = jnp.maximum(pl.cdiv(len_ref[bb], page_size) - 1, 0)
+        if windowed:
+            # grid index is window-relative (kernel applies same offset)
+            ip = jnp.maximum(
+                0, (len_ref[bb] - win_ref[bb]) // page_size) + ip
         return (tab_ref[bb, jnp.minimum(ip, last)], hh, 0, 0)
 
     in_specs = [
         pl.BlockSpec((1, 1, g_pad, d),
-                     lambda bb, hh, ip, len_ref, tab_ref: (bb, hh, 0, 0)),
+                     lambda bb, hh, ip, len_ref, win_ref, tab_ref: (
+                         bb, hh, 0, 0)),
         pl.BlockSpec((1, 1, page_size, d), page_index),
         pl.BlockSpec((1, 1, page_size, d), page_index),
     ]
@@ -193,26 +192,26 @@ def paged_decode_attention(
             inputs.append(sc[:, :, None, :])
             in_specs.append(pl.BlockSpec(
                 (1, 1, 1, page_size),
-                lambda bb, hh, ip, len_ref, tab_ref: (
-                    page_index(bb, hh, ip, len_ref, tab_ref)[0],
+                lambda bb, hh, ip, len_ref, win_ref, tab_ref: (
+                    page_index(bb, hh, ip, len_ref, win_ref, tab_ref)[0],
                     hh, 0, 0)))
 
     kernel = functools.partial(
         _paged_kernel, scale=scale, page_size=page_size,
-        quantized=quantized, fp8_fast=fp8_fast)
+        quantized=quantized, fp8_fast=fp8_fast, windowed=windowed)
 
     o, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
-            grid=(b, h_kv, max_pages),
+            num_scalar_prefetch=3,
+            grid=(b, h_kv, n_grid),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((1, 1, g_pad, d),
-                             lambda bb, hh, ip, len_ref, tab_ref: (
+                             lambda bb, hh, ip, len_ref, win_ref, tab_ref: (
                                  bb, hh, 0, 0)),
                 pl.BlockSpec((1, 1, g_pad, 1),
-                             lambda bb, hh, ip, len_ref, tab_ref: (
+                             lambda bb, hh, ip, len_ref, win_ref, tab_ref: (
                                  bb, hh, 0, 0)),
             ],
             scratch_shapes=[
@@ -230,7 +229,7 @@ def paged_decode_attention(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(lengths, table, *inputs)
+    )(lengths, win_arr, table, *inputs)
 
     o = o[:, :, :group].reshape(b, h, d)
     lse = lse[:, :, :group, 0].reshape(b, h)

@@ -39,6 +39,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from cuda_flashattention_tpu.ops.common import (
@@ -64,7 +65,7 @@ def combine_partials(o1, lse1, o2, lse2):
 
 
 def _step_fwd(q, k, v, kv_idx, my_idx, *, scale, causal, window, step,
-              shard_len, block_sizes, interpret):
+              shard_len, block_sizes, interpret, qseg=None, kseg=None):
     """One ring step's local attention with causal block dispatch.
 
     For equal sequence shards, global causality reduces to three static
@@ -79,7 +80,11 @@ def _step_fwd(q, k, v, kv_idx, my_idx, *, scale, causal, window, step,
               out_dtype=jnp.float32)
 
     if not causal:
-        return flash_attention_forward(q, k, v, causal=False, **kw)
+        # ragged global seq (padded to the shard grid): the pad tail is
+        # masked via segment ids, which rotate with their KV shard
+        return flash_attention_forward(
+            q, k, v, causal=False, q_segment_ids=qseg,
+            kv_segment_ids=kseg, **kw)
 
     def full_fn(args):
         if window:
@@ -104,13 +109,15 @@ def _step_fwd(q, k, v, kv_idx, my_idx, *, scale, causal, window, step,
 
 
 def _step_bwd(q, k, v, o, lse, do, kv_idx, my_idx, *, scale, causal,
-              window, step, shard_len, block_sizes, interpret):
+              window, step, shard_len, block_sizes, interpret,
+              qseg=None, kseg=None):
     """One ring step's gradient partials (vs the global LSE)."""
     kw = dict(scale=scale, block_sizes=block_sizes, interpret=interpret)
 
     if not causal:
-        return flash_attention_backward(q, k, v, o, lse, do, causal=False,
-                                        **kw)
+        return flash_attention_backward(
+            q, k, v, o, lse, do, causal=False, q_segment_ids=qseg,
+            kv_segment_ids=kseg, **kw)
 
     def full_fn(args):
         if window:
@@ -135,8 +142,15 @@ def _step_bwd(q, k, v, o, lse, do, kv_idx, my_idx, *, scale, causal,
 
 def _make_ring_local(axis_name: str, n_shards: int, scale: float,
                      causal: bool, window: int, shard_len: int,
-                     block_sizes, interpret):
-    """Build the per-shard ring function (runs inside shard_map)."""
+                     block_sizes, interpret, ragged: bool = False):
+    """Build the per-shard ring function (runs inside shard_map).
+
+    `ragged=True` (non-causal only): the global sequence was padded up to
+    the shard grid and per-token segment ids mark the pad tail; kv ids
+    rotate around the ring with their shard. Causal ragged needs no ids —
+    pad rows sit at the END of the global sequence, so no REAL query row
+    can ever see a pad key under the causal mask, and pad-row outputs are
+    sliced off by the wrapper."""
     # Send to the next rank, receive from the previous — the same ring
     # orientation as the reference (ref: nccl_utils.h:115-121).
     perm = [(i, (i + 1) % n_shards) for i in range(n_shards)]
@@ -154,11 +168,11 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
                  for i in range(n_shards)]
 
     @jax.custom_vjp
-    def ring_local(q, k, v):
-        o, _ = _ring_fwd(q, k, v)
+    def ring_local(q, k, v, qseg, kseg):
+        o, _ = _ring_fwd(q, k, v, qseg, kseg)
         return o.astype(q.dtype)
 
-    def _ring_fwd(q, k, v):
+    def _ring_fwd(q, k, v, qseg, kseg):
         my_idx = jax.lax.axis_index(axis_name)
         o = None
         lse = None
@@ -178,14 +192,20 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
             if step < max_steps - 1:
                 k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
                 v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+                if ragged:
+                    ks_nxt = jax.lax.ppermute(kseg, axis_name, perm)
             kv_idx = (my_idx - step) % n_shards
             o_s, lse_s = _step_fwd(
                 q, k_cur, v_cur, kv_idx, my_idx, scale=scale, causal=causal,
                 window=window, step=step, shard_len=shard_len,
-                block_sizes=block_sizes, interpret=interpret)
+                block_sizes=block_sizes, interpret=interpret,
+                qseg=qseg if ragged else None,
+                kseg=kseg if ragged else None)
             if step < max_steps - 1:
                 k_nxt, v_nxt, o_s, lse_s = jax.lax.optimization_barrier(
                     (k_nxt, v_nxt, o_s, lse_s))
+                if ragged:
+                    kseg = ks_nxt
             if o is None:
                 o, lse = o_s, lse_s
             else:
@@ -194,12 +214,13 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
                 k_cur, v_cur = k_nxt, v_nxt
         return o, lse
 
-    def ring_fwd_vjp(q, k, v):
-        o, lse = _ring_fwd(q, k, v)
-        return o.astype(q.dtype), (q, k, v, o.astype(q.dtype), lse)
+    def ring_fwd_vjp(q, k, v, qseg, kseg):
+        o, lse = _ring_fwd(q, k, v, qseg, kseg)
+        return o.astype(q.dtype), (q, k, v, o.astype(q.dtype), lse,
+                                   qseg, kseg)
 
     def ring_bwd_vjp(res, do):
-        q, k, v, o, lse = res
+        q, k, v, o, lse, qseg, kseg = res
         my_idx = jax.lax.axis_index(axis_name)
         dq = jnp.zeros(q.shape, jnp.float32)
         dk_cur = jnp.zeros(k.shape, jnp.float32)
@@ -213,12 +234,16 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
             if step < max_steps - 1:
                 k_nxt = jax.lax.ppermute(k_cur, axis_name, perm)
                 v_nxt = jax.lax.ppermute(v_cur, axis_name, perm)
+                if ragged:
+                    ks_nxt = jax.lax.ppermute(kseg, axis_name, perm)
             kv_idx = (my_idx - step) % n_shards
             dq_s, dk_s, dv_s = _step_bwd(
                 q, k_cur, v_cur, o, lse, do, kv_idx, my_idx, scale=scale,
                 causal=causal, window=window, step=step,
                 shard_len=shard_len, block_sizes=block_sizes,
-                interpret=interpret)
+                interpret=interpret,
+                qseg=qseg if ragged else None,
+                kseg=kseg if ragged else None)
             if step < max_steps - 1:
                 k_nxt, v_nxt, dq_s, dk_s, dv_s = (
                     jax.lax.optimization_barrier(
@@ -229,14 +254,19 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
             if step < max_steps - 1:
                 # dK/dV accumulators travel WITH their KV block.
                 k_cur, v_cur = k_nxt, v_nxt
+                if ragged:
+                    kseg = ks_nxt
                 dk_cur = jax.lax.ppermute(dk_cur, axis_name, perm)
                 dv_cur = jax.lax.ppermute(dv_cur, axis_name, perm)
         # One final permute sends each accumulated dK/dV shard home
         # (a single hop when the ring ran full circle).
         dk_home = jax.lax.ppermute(dk_cur, axis_name, perm_home)
         dv_home = jax.lax.ppermute(dv_cur, axis_name, perm_home)
+        f0 = jax.dtypes.float0
         return (dq.astype(q.dtype), dk_home.astype(k.dtype),
-                dv_home.astype(v.dtype))
+                dv_home.astype(v.dtype),
+                np.zeros(qseg.shape, f0) if qseg is not None else None,
+                np.zeros(kseg.shape, f0) if kseg is not None else None)
 
     ring_local.defvjp(ring_fwd_vjp, ring_bwd_vjp)
     return ring_local
@@ -266,15 +296,13 @@ def ring_attention(
     unchanged — only the shard_map specs widen). Ring traffic stays on
     `axis_name`; lay the mesh out so that axis rides ICI.
 
-    Sequence length must divide the axis size (the reference asserts the
-    same, ref: 04_ring_attention.cu:56-63; padding support is planned at
-    this level — the single-chip kernels already mask)."""
+    Sequence lengths that do NOT divide the axis are padded up to the
+    shard grid (the reference asserts divisibility instead — SURVEY §7(e),
+    ref: 04_ring_attention.cu:56-63): causal needs no masks (pad rows sit
+    past every real row), non-causal threads pad-marking segment ids
+    around the ring."""
     n_shards = mesh.shape[axis_name]
     b, h, n, d = q.shape
-    if n % n_shards != 0:
-        raise ValueError(
-            f"seq len {n} must divide the '{axis_name}' axis "
-            f"({n_shards} shards)")
     if h % k.shape[1] != 0:
         raise ValueError(f"q heads {h} not a multiple of kv heads "
                          f"{k.shape[1]}")
@@ -283,37 +311,64 @@ def ring_attention(
         raise ValueError("window requires causal=True")
     scale = resolve_scale(scale, d)
 
+    n_pad = -(-n // n_shards) * n_shards
+    ragged = n_pad != n and not causal
+    if n_pad != n:
+        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+
     ring_local = _make_ring_local(axis_name, n_shards, scale, causal,
-                                  window, n // n_shards, block_sizes,
-                                  interpret)
+                                  window, n_pad // n_shards, block_sizes,
+                                  interpret, ragged=ragged)
     spec = P(batch_axis, head_axis, axis_name, None)
-    f = jax.shard_map(ring_local, mesh=mesh, in_specs=(spec, spec, spec),
-                      out_specs=spec, check_vma=False)
-    return f(q, k, v)
+    if ragged:
+        # pad q rows get id -1, pad kv rows -2: they match nothing
+        ids = jnp.arange(n_pad)[None, :]
+        qseg = jnp.where(ids < n, 0, -1).astype(jnp.int32)
+        kseg = jnp.where(ids < n, 0, -2).astype(jnp.int32)
+        qseg = jnp.broadcast_to(qseg, (b, n_pad))
+        kseg = jnp.broadcast_to(kseg, (b, n_pad))
+        sspec = P(batch_axis, axis_name)
+        f = jax.shard_map(
+            ring_local, mesh=mesh,
+            in_specs=(spec, spec, spec, sspec, sspec),
+            out_specs=spec, check_vma=False)
+        out = f(q, k, v, qseg, kseg)
+    else:
+        f = jax.shard_map(
+            lambda q, k, v: ring_local(q, k, v, None, None), mesh=mesh,
+            in_specs=(spec, spec, spec), out_specs=spec, check_vma=False)
+        out = f(q, k, v)
+    return out[:, :, :n]
 
 
 def ring_decode_local(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    length,
+    lengths,
     axis_name: str = "sp",
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     block_k: int = 8192,
+    window: int = 0,
+    windows: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sharded-KV decode, called INSIDE shard_map: each shard attends its
     resident (possibly quantized) KV slice, partials are merged with one
     psum-weighted combine. No rotation — for decode the Qs are tiny and
     the KV stays put, so the TPU-native pattern is a reduction, not a
-    ring. Returns replicated (o [B,H,d], lse [B,H])."""
+    ring. `lengths` is [B] LOCAL live lengths (scalar broadcasts);
+    `window`/`windows` as in decode_attention (ring_decode derives the
+    per-shard values). Returns replicated (o [B,H,d], lse [B,H])."""
     b = q.shape[0]
-    lengths = jnp.full((b,), length, jnp.int32)
+    lengths = jnp.broadcast_to(jnp.asarray(lengths, jnp.int32), (b,))
     o_i, lse_i = decode_attention(
         q, k, v, lengths, k_scale=k_scale, v_scale=v_scale, scale=scale,
-        block_k=block_k, interpret=interpret)
+        block_k=block_k, window=window, windows=windows,
+        interpret=interpret)
     lse_max = jax.lax.pmax(lse_i, axis_name)
     w = jnp.exp(lse_i - lse_max)
     o_w = jax.lax.psum(o_i * w[..., None], axis_name)
@@ -327,37 +382,57 @@ def ring_decode(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
-    length,
+    lengths,
     mesh: Mesh,
     axis_name: str = "sp",
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
     block_k: int = 8192,
+    window: int = 0,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Global-view wrapper over ring_decode_local: q [B,H,d] replicated,
-    k/v [B,Hkv,N,d] sharded on N; `length` is the GLOBAL live context.
-    Each shard derives its local live length from its ring position."""
+    k/v [B,Hkv,N,d] sharded on N; `lengths` is the GLOBAL live context —
+    a scalar or per-sequence [B] (mixed-length serving batches). Each
+    shard derives its local live lengths from its ring position.
+
+    `window` > 0 attends only the last `window` GLOBAL tokens: passing
+    the same static window with shard-local lengths is exact, because the
+    decode kernel's window cut `col >= length_local - window` equals the
+    global cut `g >= length - window` at every shard offset — and shards
+    wholly outside the window contribute l = 0 partials."""
     n_shards = mesh.shape[axis_name]
+    b = q.shape[0]
     n = k.shape[2]
     if n % n_shards != 0:
         raise ValueError(f"cache len {n} must divide '{axis_name}' "
                          f"({n_shards} shards)")
     local_n = n // n_shards
+    lengths = jnp.broadcast_to(
+        jnp.asarray(lengths, jnp.int32), (b,))
 
-    def local_fn(q, k, v, length, *maybe_scales):
+    def local_fn(q, k, v, lengths, *maybe_scales):
         idx = jax.lax.axis_index(axis_name)
-        my_len = jnp.clip(length[0] - idx * local_n, 0, local_n)
+        my_len = jnp.clip(lengths - idx * local_n, 0, local_n)
+        wins = None
+        if window:
+            # per-shard effective window: the global cut g >= length - W
+            # at local coordinates is col >= my_len - W_i with
+            # W_i = my_len - (length - W) + idx*L. Shards fully inside
+            # the window get W_i >= my_len (no cut); shards fully before
+            # it get W_i <= 0 (nothing visible).
+            wins = my_len - lengths + window + idx * local_n
         ks, vs = (maybe_scales if maybe_scales else (None, None))
         return ring_decode_local(
             q, k, v, my_len, axis_name=axis_name, k_scale=ks, v_scale=vs,
-            scale=scale, block_k=block_k, interpret=interpret)
+            scale=scale, block_k=block_k, window=window, windows=wins,
+            interpret=interpret)
 
     rep = P(None, None, None)
     kv_spec = P(None, None, axis_name, None)
     in_specs = [rep, kv_spec, kv_spec, P(None)]
-    args = [q, k, v, jnp.asarray(length, jnp.int32).reshape(1)]
+    args = [q, k, v, lengths]
     if k_scale is not None:
         in_specs += [P(None, None, axis_name), P(None, None, axis_name)]
         args += [k_scale, v_scale]

@@ -17,8 +17,12 @@ ring (parallel/ring.py):
 
 Differentiable for free: `jax.lax.all_to_all` is linear, so autodiff
 reverses it — no custom VJP needed (the local attention inside already
-carries one). Composes with every kernel feature (window, segments would
-need gathering ids — full causal/window supported here).
+carries one). Composes with every kernel feature: causal, window, GQA
+(with head replication when Hkv doesn't divide the axis — KV heads are
+repeated just enough to shard, trading comm for generality), and packed
+segment ids (ids are all-gathered along the axis so every shard masks
+against the full sequence — ids are N bytes where K/V are N·d, so the
+gather is noise).
 """
 
 from __future__ import annotations
@@ -45,25 +49,44 @@ def ulysses_attention(
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
     batch_axis: Optional[str] = None,
+    segment_ids: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel attention via head all-to-all: q/k/v [B,H,N,d]
     sharded on N over `axis_name` → O with the same sharding.
 
-    Head counts (H and Hkv) must divide the axis; GQA is supported as
-    long as Hkv % n_shards == 0. Differentiable end to end.
+    Seq and q-head counts must divide the axis. GQA: when Hkv doesn't
+    divide the axis, KV heads are replicated by the minimal factor that
+    does (e.g. Hkv=2 on 8 shards → 4× → each shard owns one replica);
+    the replication must divide the GQA group so query heads still land
+    with their KV head. `segment_ids` [B, N] (same N-sharding) enables
+    packed-sequence masking. Differentiable end to end.
     """
     n_shards = mesh.shape[axis_name]
     b, h, n, d = q.shape
     h_kv = k.shape[1]
-    if n % n_shards or h % n_shards or h_kv % n_shards:
+    if n % n_shards or h % n_shards:
         raise ValueError(
-            f"ulysses needs seq {n}, q heads {h} and kv heads {h_kv} all "
-            f"divisible by the '{axis_name}' axis ({n_shards}); use the "
-            f"ring for indivisible head counts")
+            f"ulysses needs seq {n} and q heads {h} divisible by the "
+            f"'{axis_name}' axis ({n_shards}); use the ring otherwise")
+    if h_kv % n_shards:
+        # head-replication fallback: repeat each KV head `rep` times so
+        # the total shards evenly; query-head grouping survives iff rep
+        # divides the GQA group
+        import math
+        rep = n_shards // math.gcd(h_kv, n_shards)
+        if (h // h_kv) % rep:
+            raise ValueError(
+                f"kv heads {h_kv} don't divide the axis ({n_shards}) and "
+                f"the needed replication {rep} doesn't divide the GQA "
+                f"group {h // h_kv}; use the ring")
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+        h_kv *= rep
     scale = resolve_scale(scale, d)
+    segmented = segment_ids is not None
 
-    def local(q, k, v):
-        # [B, H/s? no: H, N/s, d] per shard → all_to_all splits heads and
+    def local(q, k, v, *seg):
+        # [B, H, N/s, d] per shard → all_to_all splits heads and
         # concatenates sequence: [B, H/s, N, d]
         qh = jax.lax.all_to_all(q, axis_name, split_axis=1, concat_axis=2,
                                 tiled=True)
@@ -71,14 +94,27 @@ def ulysses_attention(
                                 tiled=True)
         vh = jax.lax.all_to_all(v, axis_name, split_axis=1, concat_axis=2,
                                 tiled=True)
+        seg_kw = {}
+        if segmented:
+            # ids have no head axis to trade: gather the full sequence
+            # of ids on every shard (N ints vs N·d activations — noise)
+            ids = jax.lax.all_gather(seg[0], axis_name, axis=1,
+                                     tiled=True)
+            seg_kw = dict(q_segment_ids=ids, kv_segment_ids=ids)
         o = flash_attention(qh, kh, vh, scale=scale, causal=causal,
                             window=window, block_sizes=block_sizes,
-                            interpret=interpret)
+                            interpret=interpret, **seg_kw)
         # back to sequence-sharded: split sequence, gather heads
         return jax.lax.all_to_all(o, axis_name, split_axis=2,
                                   concat_axis=1, tiled=True)
 
     spec = P(batch_axis, None, axis_name, None)
+    if segmented:
+        f = jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(spec, spec, spec, P(batch_axis, axis_name)),
+            out_specs=spec, check_vma=False)
+        return f(q, k, v, jnp.asarray(segment_ids, jnp.int32))
     f = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
                       out_specs=spec, check_vma=False)
     return f(q, k, v)

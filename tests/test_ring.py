@@ -110,11 +110,28 @@ def test_ring_backward(causal):
 
 
 @needs_multi
-def test_ring_seq_not_divisible_raises():
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_seq_not_divisible(causal):
+    """seq % shards != 0: the wrapper pads to the shard grid and masks —
+    the very assert-dodge SURVEY §7(e) says not to replicate
+    (ref: 04_ring_attention.cu:56-63 raises instead)."""
     mesh = _mesh_n(8)
     q, k, v = random_qkv(1, 1, 100, 100, 16)
-    with pytest.raises(ValueError, match="must divide"):
-        ring_attention(q, k, v, mesh)
+    o = ring_attention(q, k, v, mesh, causal=causal)
+    assert o.shape == q.shape
+    o_ref, _ = naive_attention(q, k, v, causal=causal)
+    assert_close(o, o_ref, 5e-3, f"ragged ring O (causal={causal})")
+
+    do = jnp.asarray(seeded_random(q.shape, 77))
+
+    def loss(q, k, v):
+        return jnp.vdot(ring_attention(q, k, v, mesh, causal=causal), do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    dq_r, dk_r, dv_r = naive_attention_backward(q, k, v, do, causal=causal)
+    assert_close(dq, dq_r, 5e-3, "ragged ring dQ")
+    assert_close(dk, dk_r, 5e-3, "ragged ring dK")
+    assert_close(dv, dv_r, 5e-3, "ragged ring dV")
 
 
 @needs_multi
@@ -129,6 +146,46 @@ def test_ring_decode(global_len):
         q[:, :, None, :], k[:, :, :global_len], v[:, :, :global_len])
     assert_close(o, o_ref[:, :, 0], 5e-3, "ring decode O")
     assert_close(lse, lse_ref[:, :, 0], 1e-2, "ring decode LSE")
+
+
+@needs_multi
+def test_ring_decode_per_sequence_lengths():
+    """Mixed-length serving batch through the sharded decode."""
+    mesh = _mesh_n(4)
+    b = 3
+    _, k, v = random_qkv(b, 2, 0, 256, 32)
+    q = jnp.asarray(seeded_random((b, 2, 32), 7))
+    lengths = jnp.asarray([1, 100, 256], jnp.int32)
+    o, lse = ring_decode(q, k, v, lengths, mesh)
+    for i, ln in enumerate([1, 100, 256]):
+        o_ref, lse_ref = naive_attention(
+            q[i:i + 1, :, None, :], k[i:i + 1, :, :ln], v[i:i + 1, :, :ln])
+        assert_close(o[i:i + 1], o_ref[:, :, 0], 5e-3,
+                     f"ring decode O (len={ln})")
+        assert_close(lse[i:i + 1], lse_ref[:, :, 0], 1e-2,
+                     f"ring decode LSE (len={ln})")
+
+
+@needs_multi
+@pytest.mark.parametrize("window", [40, 100, 300])
+def test_ring_decode_window(window):
+    """Windowed sharded decode: the global window cut falls mid-shard,
+    spans shards, or exceeds the context (VERDICT r1 #5)."""
+    mesh = _mesh_n(4)
+    b = 2
+    _, k, v = random_qkv(b, 2, 0, 256, 32)
+    q = jnp.asarray(seeded_random((b, 2, 32), 9))
+    lengths = jnp.asarray([180, 256], jnp.int32)
+    o, lse = ring_decode(q, k, v, lengths, mesh, window=window)
+    for i, ln in enumerate([180, 256]):
+        lo = max(0, ln - window)
+        o_ref, lse_ref = naive_attention(
+            q[i:i + 1, :, None, :], k[i:i + 1, :, lo:ln],
+            v[i:i + 1, :, lo:ln])
+        assert_close(o[i:i + 1], o_ref[:, :, 0], 5e-3,
+                     f"windowed ring decode O (len={ln}, w={window})")
+        assert_close(lse[i:i + 1], lse_ref[:, :, 0], 1e-2,
+                     f"windowed ring decode LSE (len={ln}, w={window})")
 
 
 @needs_multi

@@ -69,3 +69,44 @@ def test_ulysses_rejects_indivisible_heads(setup):
     mesh, _, (qs, ks, vs) = setup
     with pytest.raises(ValueError):
         ulysses_attention(qs[:, :3], ks, vs, mesh=mesh)
+
+
+def test_ulysses_gqa_head_replication(setup):
+    """Hkv=2 on 4 shards: KV heads replicate 2× so each shard owns a
+    replica; the GQA grouping must survive (VERDICT r1 #10)."""
+    mesh, (q, k, v), (qs, ks, vs) = setup
+    k2, v2 = k[:, :2], v[:, :2]  # Hkv=2 < 4 shards
+    k2s = shard_on_axis(mesh, k2, 2, "sp")
+    v2s = shard_on_axis(mesh, v2, 2, "sp")
+    o = ulysses_attention(qs, k2s, v2s, mesh=mesh, causal=True)
+    o_ref, _ = naive_attention(q, jnp.repeat(k2, 2, 1),
+                               jnp.repeat(v2, 2, 1), causal=True)
+    assert_close(o, o_ref, 2e-3, name="ulysses gqa replication")
+
+    do = jnp.asarray(seeded_random(q.shape, seed=191))
+
+    def loss(q, k, v):
+        o = ulysses_attention(q, k, v, mesh=mesh, causal=True)
+        return jnp.sum(o.astype(jnp.float32) * do)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(qs, k2s, v2s)
+    dq_r, dk_r, dv_r = naive_attention_backward(
+        q, jnp.repeat(k2, 2, 1), jnp.repeat(v2, 2, 1), do, causal=True)
+    assert_close(dq, dq_r, 2e-3, name="ulysses gqa-rep dQ")
+    # repeated-head grads fold back onto the true KV heads
+    assert_close(dk, dk_r.reshape(1, 2, 2, 64, 16).sum(2), 2e-3,
+                 name="ulysses gqa-rep dK")
+    assert_close(dv, dv_r.reshape(1, 2, 2, 64, 16).sum(2), 2e-3,
+                 name="ulysses gqa-rep dV")
+
+
+def test_ulysses_segment_ids(setup):
+    """Packed sequences through the all-to-all: ids gather along the
+    axis so every shard masks the full sequence (VERDICT r1 #10)."""
+    mesh, (q, k, v), (qs, ks, vs) = setup
+    ids = jnp.asarray([[0] * 20 + [1] * 30 + [2] * 14], jnp.int32)
+    ids_s = shard_on_axis(mesh, ids, 1, "sp")
+    o = ulysses_attention(qs, ks, vs, mesh=mesh, segment_ids=ids_s)
+    o_ref, _ = naive_attention(q, k, v, q_segment_ids=ids,
+                               kv_segment_ids=ids)
+    assert_close(o, o_ref, 2e-3, name="ulysses segments")
