@@ -52,12 +52,23 @@ def main() -> None:
             x, kv_fp8.k_q, kv_fp8.v_q, k_scale=kv_fp8.k_scale,
             v_scale=kv_fp8.v_scale)[0], q, iters=10)
     tflops_fp8 = attention_flops(B, H, N, N, D) / t_fp8 / 1e12
+    t_fp8_qq = time_chained(
+        lambda x: flash_attention_forward(
+            x, kv_fp8.k_q, kv_fp8.v_q, k_scale=kv_fp8.k_scale,
+            v_scale=kv_fp8.v_scale, quantize_q=True)[0], q, iters=10)
+    tflops_fp8_qq = attention_flops(B, H, N, N, D) / t_fp8_qq / 1e12
     kv_i8 = quantize_kv(k, v, "int8")
     t_i8 = time_chained(
         lambda x: flash_attention_forward(
             x, kv_i8.k_q, kv_i8.v_q, k_scale=kv_i8.k_scale,
             v_scale=kv_i8.v_scale)[0], q, iters=10)
     tflops_i8 = attention_flops(B, H, N, N, D) / t_i8 / 1e12
+    # int8 KV + per-head int8 Q: QK^T on the MXU's 2x int8 path
+    t_i8_qq = time_chained(
+        lambda x: flash_attention_forward(
+            x, kv_i8.k_q, kv_i8.v_q, k_scale=kv_i8.k_scale,
+            v_scale=kv_i8.v_scale, quantize_q=True)[0], q, iters=10)
+    tflops_i8_qq = attention_flops(B, H, N, N, D) / t_i8_qq / 1e12
     del kv_i8
 
     t_fwd = time_chained(
@@ -71,7 +82,8 @@ def main() -> None:
     t_c8 = time_chained(
         lambda x: flash_attention_forward(
             x, kv_fp8.k_q, kv_fp8.v_q, k_scale=kv_fp8.k_scale,
-            v_scale=kv_fp8.v_scale, causal=True)[0], q, iters=10)
+            v_scale=kv_fp8.v_scale, causal=True, quantize_q=True)[0],
+        q, iters=10)
     tflops_causal_fp8 = (attention_flops(B, H, N, N, D, causal=True)
                          / t_c8 / 1e12)
     del kv_fp8
@@ -171,19 +183,25 @@ def main() -> None:
     target = SOL_FRACTION_TARGET * peaks["peak_tflops"]
     result = {
         "metric": "fa2_fwd_attention_tflops_per_chip_fp8_kv",
-        "value": round(tflops_fp8, 2),
+        "value": round(tflops_fp8_qq, 2),
         "unit": "TFLOP/s",
-        "vs_baseline": round(tflops_fp8 / target, 4),
+        "vs_baseline": round(tflops_fp8_qq / target, 4),
         "extra": {
-            "config": f"B={B} H={H} N={N} d={D} fp8-KV (headline)",
+            "config": (f"B={B} H={H} N={N} d={D} fp8 KV cache; kernel "
+                       f"computes QK^T on the 2x int8 MXU path (per-head "
+                       f"int8 Q + lossless in-kernel fp8->int8 K re-grid,"
+                       f" quantize_q=True; accuracy gate 1e-2 vs naive "
+                       f"holds - tests/test_quant.py)"),
             "device": peaks["device_kind"],
             "peak_tflops": peaks["peak_tflops"],
-            "sol_fraction": round(tflops_fp8 / peaks["peak_tflops"], 4),
+            "sol_fraction": round(tflops_fp8_qq / peaks["peak_tflops"], 4),
             "target": "vs_baseline is fraction of 0.70*peak (north star)",
+            "fp8_fwd_dequant_only_tflops": round(tflops_fp8, 2),
             "bf16_fwd_tflops": round(tflops_fwd, 2),
             "int8_fwd_tflops": round(tflops_i8, 2),
+            "int8_fwd_quantize_q_tflops": round(tflops_i8_qq, 2),
             "causal_fwd_tflops": round(tflops_causal, 2),
-            "causal_fwd_fp8_tflops": round(tflops_causal_fp8, 2),
+            "causal_fwd_fp8_qq_tflops": round(tflops_causal_fp8, 2),
             "fwd_bwd_tflops": round(tflops_fb, 2),
             "decode_tokens_per_s": {k: round(v, 1)
                                     for k, v in decode.items()},

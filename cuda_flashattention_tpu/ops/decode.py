@@ -121,6 +121,7 @@ def _decode_kernel(
     fp8_fast: bool,
     group: int,
     windowed: bool,
+    window_cap: int,
 ):
     if quantized:
         (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
@@ -134,6 +135,11 @@ def _decode_kernel(
     nblk = pl.num_programs(2)
     length = len_ref[b]
     win = win_ref[b] if windowed else None
+    if windowed and window_cap:
+        # the static `window` sizes the O(window) grid, so it is a HARD
+        # CAP on the per-seq values — without the clamp a windows[i] >
+        # window would silently skip the newest in-window blocks
+        win = jnp.minimum(win, window_cap)
 
     if windowed:
         # windowed: the GRID only spans ceil(window/bk)+1 blocks; each
@@ -185,9 +191,11 @@ def decode_attention(
     (sliding-window serving); off-window cache blocks are neither fetched
     nor computed. `windows` [B] int32 optionally gives PER-SEQUENCE
     dynamic windows (ring decode derives per-shard effective windows from
-    the shard offset — parallel/ring.py); when both are set, the static
-    `window` bounds the visible span for grid sizing while `windows`
-    drives the masks. A per-seq window ≥ its length means "no window".
+    the shard offset — parallel/ring.py). When both are set, the static
+    `window` sizes the O(window) grid and is therefore a HARD CAP: each
+    effective window is min(windows[i], window). With `windows` alone
+    the grid stays O(max_len) and any per-seq value is honoured (one
+    ≥ its length means "no window").
 
     `lengths` [B] int32 gives each sequence's live context; cache rows at
     or beyond a sequence's length are never read (clamped index maps) nor
@@ -244,8 +252,11 @@ def decode_attention(
         last = jnp.maximum(pl.cdiv(len_ref[bb], block_k) - 1, 0)
         if windowed:
             # grid index is window-relative; offset to the absolute block
-            ik = jnp.maximum(
-                0, (len_ref[bb] - win_ref[bb]) // block_k) + ik
+            # (same static cap as the kernel applies)
+            wb = win_ref[bb]
+            if window:
+                wb = jnp.minimum(wb, window)
+            ik = jnp.maximum(0, (len_ref[bb] - wb) // block_k) + ik
         return jnp.minimum(ik, last)
 
     def kv_index(bb, hh, ik, len_ref, win_ref):
@@ -276,7 +287,7 @@ def decode_attention(
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_k=block_k,
         quantized=quantized, fp8_fast=fp8_fast, group=group,
-        windowed=windowed)
+        windowed=windowed, window_cap=window)
 
     o, lse = pl.pallas_call(
         kernel,

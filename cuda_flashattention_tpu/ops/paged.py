@@ -56,6 +56,7 @@ def _paged_kernel(
     quantized: bool,
     fp8_fast: bool,
     windowed: bool,
+    window_cap: int,
 ):
     """Paged decode = the contiguous decode kernel body (ops/decode.py
     attend_block/decode_epilogue) fed by block-table-gathered physical
@@ -72,6 +73,9 @@ def _paged_kernel(
     n_pages = pl.num_programs(2)
     length = lengths_ref[b]
     win = win_ref[b] if windowed else None
+    if windowed and window_cap:
+        # static `window` sizes the O(window) page grid → hard cap
+        win = jnp.minimum(win, window_cap)
     if windowed:
         # grid index is window-relative; offset to the absolute logical
         # page (the host's page_index map applies the same offset), so
@@ -123,7 +127,8 @@ def paged_decode_attention(
 
     `window`/`windows` restrict attention to the last `window` live
     tokens exactly as in ops/decode.py::decode_attention — off-window
-    pages are neither fetched nor computed (O(window) grid).
+    pages are neither fetched nor computed (O(window) grid), and a
+    static `window` hard-caps the per-seq `windows` values.
 
     Returns (o [B,H,d], lse [B,H]).
     """
@@ -163,9 +168,12 @@ def paged_decode_attention(
         # consecutive identical physical ids → the pipeline skips the DMA
         last = jnp.maximum(pl.cdiv(len_ref[bb], page_size) - 1, 0)
         if windowed:
-            # grid index is window-relative (kernel applies same offset)
-            ip = jnp.maximum(
-                0, (len_ref[bb] - win_ref[bb]) // page_size) + ip
+            # grid index is window-relative (kernel applies same offset
+            # and the same static cap)
+            wb = win_ref[bb]
+            if window:
+                wb = jnp.minimum(wb, window)
+            ip = jnp.maximum(0, (len_ref[bb] - wb) // page_size) + ip
         return (tab_ref[bb, jnp.minimum(ip, last)], hh, 0, 0)
 
     in_specs = [
@@ -198,7 +206,8 @@ def paged_decode_attention(
 
     kernel = functools.partial(
         _paged_kernel, scale=scale, page_size=page_size,
-        quantized=quantized, fp8_fast=fp8_fast, windowed=windowed)
+        quantized=quantized, fp8_fast=fp8_fast, windowed=windowed,
+        window_cap=window)
 
     o, lse = pl.pallas_call(
         kernel,

@@ -126,10 +126,14 @@ def flash_attention_quantized(
     kv_offset: int = 0,
     block_sizes: Optional[BlockSizes] = None,
     interpret: Optional[bool] = None,
+    quantize_q: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FA2 forward over a quantized KV pair; dequant fused in-kernel.
 
     Inference path (no VJP): the backward runs on unquantized tensors.
+    `quantize_q=True` additionally runs QKᵀ on the MXU's 2× int8 path
+    (per-head int8 Q; fp8 K re-grids onto int8 in-kernel) — see
+    flash_attention_forward's docstring for the accuracy trade.
     Returns (O, LSE) like flash_attention_forward.
     """
     if block_sizes is None and jax.default_backend() == "tpu":
@@ -138,4 +142,4 @@ def flash_attention_quantized(
     return flash_attention_forward(
         q, kv.k_q, kv.v_q, scale=scale, causal=causal, kv_offset=kv_offset,
         block_sizes=block_sizes, interpret=interpret,
-        k_scale=kv.k_scale, v_scale=kv.v_scale)
+        k_scale=kv.k_scale, v_scale=kv.v_scale, quantize_q=quantize_q)

@@ -152,7 +152,8 @@ def run_aot_check() -> bool:
            .lower(xs, ws).compile().as_text())
     ok = "tpu_custom_call" in txt
     print(f"AOT v5e:2x2 compile: {'OK' if ok else 'MISSING KERNEL'} "
-        f"({len(txt)} bytes of scheduled HLO)")
+          f"({len(txt)} bytes of scheduled HLO)")
+    print("Test PASSED!" if ok else "Test FAILED!")
     return ok
 
 

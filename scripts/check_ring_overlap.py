@@ -97,7 +97,9 @@ def main() -> int:
     hidable = max(0, pairs - 2)
     print(f"permute pairs: {pairs}; overlapped with compute: {overlapped}; "
           f"hidable: {hidable}")
-    ok = overlapped >= hidable
+    # pairs == 0 means the start/done matching itself broke (HLO naming
+    # drift) — fail loudly rather than pass vacuously
+    ok = pairs > 0 and overlapped >= hidable
     print("OVERLAP " + ("OK" if ok else "MISSING"))
     return 0 if ok else 1
 

@@ -135,3 +135,30 @@ def test_cache_append_overflow_raises():
     k2 = jnp.ones((1, 1, 2, 8), jnp.float32)
     cache = append(cache, k2, k2)
     assert int(cache.length) == 8
+
+
+def test_decode_windows_exceeding_static_cap():
+    """Per-seq `windows` above the static `window` must be CAPPED, not
+    silently truncate the visited grid (the O(window) grid only covers
+    cdiv(window,block_k)+1 blocks — an uncapped larger dynamic window
+    would offset past the newest blocks and skip them)."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 256, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 256, 32)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 32)), jnp.float32)
+    lengths = jnp.asarray([256], jnp.int32)
+    o, _ = decode_attention(q, k, v, lengths, block_k=64, window=64,
+                            windows=jnp.asarray([256], jnp.int32),
+                            interpret=True)
+    # effective window = min(256, 64) = 64 → last 64 tokens
+    o_ref, _ = naive_attention(q[:, :, None, :], k[:, :, 192:],
+                               v[:, :, 192:])
+    assert_close(o, o_ref[:, :, 0], 1e-5, "capped dynamic window")
+    # windows WITHOUT a static cap keeps the full grid and honours any
+    # value (>= length means no window)
+    o2, _ = decode_attention(q, k, v, lengths, block_k=64,
+                             windows=jnp.asarray([256], jnp.int32),
+                             interpret=True)
+    o_full, _ = naive_attention(q[:, :, None, :], k, v)
+    assert_close(o2, o_full[:, :, 0], 1e-5, "uncapped dynamic window")

@@ -126,3 +126,36 @@ def test_fp8_to_bf16_bit_surgery_exhaustive():
     assert (got[is_sub & ~is_nan] == 0).all(), "subnormals flush to 0"
     normal = ~is_nan & ~is_sub
     assert (got[normal] == ref[normal]).all(), "normals must be exact"
+
+
+def test_fp8_shift_cast_exhaustive():
+    """fp8_shift_cast is exactly value·2^-120 for every non-NaN code —
+    normals AND subnormals (both interpret the shifted mantissa at their
+    minimum exponent; docs/MEMO.md #19)."""
+    from cuda_flashattention_tpu.ops.common import FP8_SHIFT, fp8_shift_cast
+    codes = np.arange(256, dtype=np.uint8)
+    x8 = jax.lax.bitcast_convert_type(jnp.asarray(codes),
+                                      jnp.float8_e4m3fn)
+    got = np.asarray(fp8_shift_cast(x8).astype(jnp.float32)) * FP8_SHIFT
+    ref = np.asarray(x8.astype(jnp.float32))
+    non_nan = (codes & 0x7F) != 0x7F
+    assert (got[non_nan] == ref[non_nan]).all()
+
+
+@pytest.mark.parametrize("qtype,gate", [("int8", 5e-3), ("fp8", 1e-2)])
+def test_quantize_q_accuracy(qtype, gate):
+    """quantize_q (int8-MXU QKᵀ, per-head int8 Q, fp8→int8 K re-grid)
+    must stay inside the quantized-path accuracy budget vs the fp32
+    oracle — the documented trade is Q's per-head rounding (~0.4%), so
+    the int8 gate widens from 1e-3 to 5e-3; fp8 keeps its 1e-2 gate."""
+    q, k, v = random_qkv(1, 4, 96, 130, 32, seed=97, dtype=jnp.float32)
+    k2, v2 = k[:, :2], v[:, :2]  # GQA: per-head σ_q ≠ per-kv-head rows
+    kv = quantize_kv(k2, v2, qtype)
+    for causal in (False, True):
+        o, lse = flash_attention_quantized(q, kv, causal=causal,
+                                           quantize_q=True)
+        kd, vd = kv.dequantize()
+        o_ref, lse_ref = naive_attention(
+            q, jnp.repeat(kd, 2, 1), jnp.repeat(vd, 2, 1), causal=causal)
+        assert_close(o, o_ref, gate, f"{qtype} quantize_q O causal={causal}")
+        assert_close(lse, lse_ref, gate, f"{qtype} quantize_q LSE")
