@@ -104,6 +104,10 @@ def main() -> None:
     decode = {}
     db, dh, dd = 4, 16, 128
     for ctx in (16384, 131072):
+        # the tunnelled backend's fixed relay latency must amortise over
+        # enough chained steps — at iters=10 a 3 ms decode step reads
+        # 3-4x slower than reality (measured)
+        iters = 40 if ctx <= 16384 else 15
         for hkv in (dh, dh // 4):
             _k, _v = mk((db, hkv, ctx, dd)), mk((db, hkv, ctx, dd))
             dq = mk((db, dh, dd))
@@ -111,14 +115,14 @@ def main() -> None:
             tag = "" if hkv == dh else f"_gqa{dh}x{hkv}"
             t_bf16 = time_chained(
                 lambda x: decode_attention(x, _k, _v, lengths)[0], dq,
-                iters=10)
+                iters=iters)
             decode[f"bf16_ctx{ctx}{tag}"] = db / t_bf16
             for qt in ("int8", "fp8"):
                 kv = quantize_kv(_k, _v, qt)
                 t = time_chained(
                     lambda x: decode_attention(
                         x, kv.k_q, kv.v_q, lengths, k_scale=kv.k_scale,
-                        v_scale=kv.v_scale)[0], dq, iters=10)
+                        v_scale=kv.v_scale)[0], dq, iters=iters)
                 decode[f"{qt}_ctx{ctx}{tag}"] = db / t
                 del kv
             del _k, _v

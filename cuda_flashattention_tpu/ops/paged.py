@@ -55,18 +55,26 @@ def _paged_kernel(
     page_size: int,
     quantized: bool,
     fp8_fast: bool,
+    qq: bool,
     windowed: bool,
     window_cap: int,
 ):
     """Paged decode = the contiguous decode kernel body (ops/decode.py
     attend_block/decode_epilogue) fed by block-table-gathered physical
     pages instead of clamped contiguous blocks."""
+    refs = list(refs)
     if quantized:
-        (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
-         o_ref, lse_ref, m_s, l_s, acc_s) = refs
+        (q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref) = refs[:5]
+        refs = refs[5:]
     else:
-        (q_ref, k_ref, v_ref, o_ref, lse_ref, m_s, l_s, acc_s) = refs
+        (q_ref, k_ref, v_ref) = refs[:3]
+        refs = refs[3:]
         k_scale_ref = v_scale_ref = None
+    sq_ref = None
+    if qq:
+        sq_ref = refs[0]
+        refs = refs[1:]
+    (o_ref, lse_ref, m_s, l_s, acc_s) = refs
 
     b = pl.program_id(0)
     ip = pl.program_id(2)
@@ -93,7 +101,7 @@ def _paged_kernel(
         attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
                      m_s, l_s, acc_s, col0=ip * page_size, length=length,
                      win=win, scale=scale, quantized=quantized,
-                     fp8_fast=fp8_fast)
+                     fp8_fast=fp8_fast, sq_ref=sq_ref)
 
     @pl.when(pl.program_id(2) == n_pages - 1)
     def _epilogue():
@@ -102,7 +110,7 @@ def _paged_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "window", "interpret"),
+    static_argnames=("scale", "window", "quantize_q", "interpret"),
 )
 def paged_decode_attention(
     q: jnp.ndarray,
@@ -115,6 +123,7 @@ def paged_decode_attention(
     scale: Optional[float] = None,
     window: int = 0,
     windows: Optional[jnp.ndarray] = None,
+    quantize_q: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One decode step over paged caches.
@@ -144,10 +153,24 @@ def paged_decode_attention(
     if quantized and v_scale is None:
         raise ValueError("k_scale given without v_scale")
 
+    qq = (bool(quantize_q) and quantized
+          and k_pages.dtype == jnp.int8)
+    sq_in = None
+    out_dt = q.dtype
+    if qq:
+        qf = q.astype(jnp.float32)
+        sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
+                         1e-12) / 127.0
+        q = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+        sq_in = (sq * scale).reshape(b, h_kv, group, 1)
+
     g_pad = max(8, group)
     q_g = q.reshape(b, h_kv, group, d)
     if g_pad != group:
         q_g = jnp.pad(q_g, ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
+        if qq:
+            sq_in = jnp.pad(sq_in,
+                            ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
 
     lengths = jnp.asarray(lengths, jnp.int32).reshape(b)
     table = jnp.asarray(page_table, jnp.int32).reshape(b, max_pages)
@@ -204,9 +227,15 @@ def paged_decode_attention(
                     page_index(bb, hh, ip, len_ref, win_ref, tab_ref)[0],
                     hh, 0, 0)))
 
+    if qq:
+        inputs.append(sq_in)
+        in_specs.append(pl.BlockSpec(
+            (1, 1, g_pad, 1),
+            lambda bb, hh, ip, len_ref, win_ref, tab_ref: (bb, hh, 0, 0)))
+
     kernel = functools.partial(
         _paged_kernel, scale=scale, page_size=page_size,
-        quantized=quantized, fp8_fast=fp8_fast, windowed=windowed,
+        quantized=quantized, fp8_fast=fp8_fast, qq=qq, windowed=windowed,
         window_cap=window)
 
     o, lse = pl.pallas_call(
@@ -230,7 +259,7 @@ def paged_decode_attention(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((b, h_kv, g_pad, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h_kv, g_pad, d), out_dt),
             jax.ShapeDtypeStruct((b, h_kv, g_pad, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(

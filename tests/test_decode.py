@@ -162,3 +162,26 @@ def test_decode_windows_exceeding_static_cap():
                              interpret=True)
     o_full, _ = naive_attention(q[:, :, None, :], k, v)
     assert_close(o2, o_full[:, :, 0], 1e-5, "uncapped dynamic window")
+
+
+def test_decode_quantize_q():
+    """int8 KV + per-head int8 Q decode (2x-MXU QK, no K cast) matches
+    the dequantized oracle; fp8 caches ignore the flag (documented)."""
+    import numpy as np
+    from cuda_flashattention_tpu.ops.quant import quantize_kv
+    rng = np.random.default_rng(13)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2, 200, 32)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2, 200, 32)), jnp.float32)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 8, 32)), jnp.float32)
+    kv = quantize_kv(k, v, "int8")
+    kd, vd = kv.dequantize()
+    lengths = jnp.asarray([150, 200], jnp.int32)
+    o, lse = decode_attention(q, kv.k_q, kv.v_q, lengths,
+                              k_scale=kv.k_scale, v_scale=kv.v_scale,
+                              quantize_q=True, interpret=True)
+    for i, ln in enumerate([150, 200]):
+        o_ref, _ = naive_attention(
+            q[i:i + 1, :, None, :], jnp.repeat(kd[i:i + 1, :, :ln], 4, 1),
+            jnp.repeat(vd[i:i + 1, :, :ln], 4, 1))
+        assert_close(o[i:i + 1], o_ref[:, :, 0], 5e-3,
+                     f"decode quantize_q len={ln}")
