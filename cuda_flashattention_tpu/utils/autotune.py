@@ -68,10 +68,20 @@ def candidate_blocks(
     """Enumerate (block_q, block_k) pairs that respect the VMEM model
     (same cost terms and budget as ops.common.auto_block_sizes — the
     bool-mask term for causal, the kernels' 64 MiB scoped limit minus
-    pipeline headroom) and TPU tiling. Includes the measured-best
-    (2048, 2048) point on v5e d=128."""
-    qs = [256, 512, 1024, 2048]
-    ks = [512, 1024, 2048, 4096]
+    pipeline headroom) and TPU tiling. The grid ADAPTS to the problem:
+    powers of two from 256 up to the sequence itself (capped at 8k),
+    so small problems don't waste compiles on oversized tiles and large
+    ones aren't clipped at the old 2048/4096 ceiling (VERDICT r1 #8).
+    Includes the measured-best (2048, 2048) point on v5e d=128."""
+    def _pows(n, cap):
+        top = min(cap, max(256, round_up(n, 8)))
+        out, p = [], 256
+        while p <= top:
+            out.append(p)
+            p *= 2
+        return out
+    qs = _pows(nq, 8192)
+    ks = _pows(nk, 8192)
     out = []
     for bq, bk in itertools.product(qs, ks):
         if bq > round_up(nq, 8) or bk > round_up(nk, 8):
@@ -84,12 +94,13 @@ def candidate_blocks(
     return out or [(min(512, round_up(nq, 8)), min(512, round_up(nk, 8)))]
 
 
-def _bench_fwd(bs: BlockSizes, q, k, v, causal: bool, iters: int) -> float:
+def _bench_fwd(bs: BlockSizes, q, k, v, causal: bool, iters: int,
+               window: int = 0) -> float:
     from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
 
     def step(x):
         return flash_attention_forward(x, k, v, causal=causal,
-                                       block_sizes=bs)[0]
+                                       window=window, block_sizes=bs)[0]
     return time_chained(step, q, iters=iters, warmup=1)
 
 
@@ -114,6 +125,7 @@ def autotune_block_sizes(
     heads: int = 1,
     dtype=jnp.bfloat16,
     causal: bool = False,
+    window: int = 0,
     mode: str = "fwd",
     iters: int = 5,
     candidates: Optional[List[Tuple[int, int]]] = None,
@@ -121,12 +133,15 @@ def autotune_block_sizes(
 ) -> BlockSizes:
     """Measure candidate tile sizes on the live device; return the best.
 
-    `mode` is "fwd" or "bwd" (tunes block_q/block_k or the *_bwd pair).
+    `mode` is "fwd" or "bwd" (tunes block_q/block_k or the *_bwd pair);
+    `window` tunes window-specific tiles (the straddler-mask fraction
+    shifts the optimum — docs/IMPLEMENTATION.md "Known gaps", r1).
     Results are cached on disk keyed by device kind + problem shape.
     """
     dev = jax.devices()[0]
     key = json.dumps([dev.device_kind, jax.default_backend(), batch, heads,
-                      nq, nk, d, str(jnp.dtype(dtype)), causal, mode])
+                      nq, nk, d, str(jnp.dtype(dtype)), causal, window,
+                      mode])
     if key in _MEM_CACHE:
         return _MEM_CACHE[key]
     disk = _disk_cache_load()
@@ -152,7 +167,7 @@ def autotune_block_sizes(
             bs = BlockSizes(block_q=bq, block_k=bk,
                             block_q_bwd=base.block_q_bwd,
                             block_k_bwd=base.block_k_bwd).clamp(nq, nk)
-            t = _bench_fwd(bs, q, k, v, causal, iters)
+            t = _bench_fwd(bs, q, k, v, causal, iters, window=window)
         if verbose:
             print(f"  ({bq:5d},{bk:5d}) -> {t*1e3:8.3f} ms")
         if t < best_t:
@@ -168,6 +183,131 @@ def autotune_block_sizes(
     return best_bs
 
 
+def autotune_decode_block_k(
+    ctx: int,
+    heads: int = 16,
+    kv_heads: Optional[int] = None,
+    d: int = 128,
+    batch: int = 4,
+    qtype: Optional[str] = None,
+    window: int = 0,
+    iters: int = 10,
+    verbose: bool = False,
+) -> int:
+    """Measure decode block_k candidates on the live device (the serving
+    knob VERDICT r1 #8 flagged as untuned). Candidates are powers of two
+    2048..min(ctx_padded, 16384) (128-aligned for quantized caches);
+    cached like the prefill tuner. Returns the best block_k."""
+    from cuda_flashattention_tpu.ops.decode import decode_attention
+    from cuda_flashattention_tpu.ops.quant import quantize_kv
+
+    kv_heads = kv_heads or heads
+    dev = jax.devices()[0]
+    key = json.dumps([dev.device_kind, jax.default_backend(), "decode",
+                      batch, heads, kv_heads, ctx, d, qtype or "bf16",
+                      window])
+    if key in _MEM_CACHE:
+        return _MEM_CACHE[key]
+    disk = _disk_cache_load()
+    if key in disk:
+        _MEM_CACHE[key] = disk[key]
+        return disk[key]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    k = jax.random.uniform(keys[0], (batch, kv_heads, ctx, d),
+                           jnp.bfloat16, -0.5, 0.5)
+    v = jax.random.uniform(keys[1], (batch, kv_heads, ctx, d),
+                           jnp.bfloat16, -0.5, 0.5)
+    q = jax.random.uniform(keys[2], (batch, heads, d), jnp.bfloat16,
+                           -0.5, 0.5)
+    lengths = jnp.full((batch,), ctx, jnp.int32)
+    kw = {}
+    if qtype:
+        kvq = quantize_kv(k, v, qtype)
+        k, v = kvq.k_q, kvq.v_q
+        kw = dict(k_scale=kvq.k_scale, v_scale=kvq.v_scale)
+
+    top = min(round_up(ctx, 128), 16384)
+    cands = [bk for bk in (2048, 4096, 8192, 16384) if bk <= top] or [top]
+    best_bk, best_t = cands[0], float("inf")
+    for bk in cands:
+        def step(x, bk=bk):
+            return decode_attention(x, k, v, lengths, block_k=bk,
+                                    window=window, **kw)[0]
+        t = time_chained(step, q, iters=iters, warmup=1)
+        if verbose:
+            print(f"  block_k {bk:6d} -> {t*1e3:8.3f} ms")
+        if t < best_t:
+            best_bk, best_t = bk, t
+
+    disk[key] = best_bk
+    _disk_cache_store(disk)
+    _MEM_CACHE[key] = best_bk
+    return best_bk
+
+
+def autotune_page_size(
+    ctx: int,
+    heads: int = 16,
+    d: int = 128,
+    batch: int = 4,
+    qtype: Optional[str] = None,
+    iters: int = 10,
+    verbose: bool = False,
+) -> int:
+    """Measure paged-decode page sizes (a CACHE-LAYOUT decision: pick it
+    BEFORE allocating pools). Candidates 128..1024; cached. Returns the
+    best page_size."""
+    from cuda_flashattention_tpu.ops.paged import paged_decode_attention
+    from cuda_flashattention_tpu.ops.quant import quantize_tensor
+
+    dev = jax.devices()[0]
+    key = json.dumps([dev.device_kind, jax.default_backend(), "page",
+                      batch, heads, ctx, d, qtype or "bf16"])
+    if key in _MEM_CACHE:
+        return _MEM_CACHE[key]
+    disk = _disk_cache_load()
+    if key in disk:
+        _MEM_CACHE[key] = disk[key]
+        return disk[key]
+
+    keys = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.uniform(keys[2], (batch, heads, d), jnp.bfloat16,
+                           -0.5, 0.5)
+    best_ps, best_t = None, float("inf")
+    for ps in (128, 256, 512, 1024):
+        if ps > ctx:
+            continue
+        pages_per_seq = -(-ctx // ps)
+        n_pool = batch * pages_per_seq
+        kp = jax.random.uniform(keys[0], (n_pool, heads, ps, d),
+                                jnp.bfloat16, -0.5, 0.5)
+        vp = jax.random.uniform(keys[1], (n_pool, heads, ps, d),
+                                jnp.bfloat16, -0.5, 0.5)
+        kw = {}
+        if qtype:
+            kp, ks = quantize_tensor(kp, qtype)
+            vp, vs = quantize_tensor(vp, qtype)
+            kw = dict(k_scale=ks, v_scale=vs)
+        table = jnp.arange(n_pool, dtype=jnp.int32).reshape(
+            batch, pages_per_seq)
+        lengths = jnp.full((batch,), ctx, jnp.int32)
+
+        def step(x, kp=kp, vp=vp, table=table, kw=kw):
+            return paged_decode_attention(x, kp, vp, table, lengths,
+                                          **kw)[0]
+        t = time_chained(step, q, iters=iters, warmup=1)
+        if verbose:
+            print(f"  page_size {ps:5d} -> {t*1e3:8.3f} ms")
+        if t < best_t:
+            best_ps, best_t = ps, t
+
+    disk[key] = best_ps
+    _disk_cache_store(disk)
+    _MEM_CACHE[key] = best_ps
+    return best_ps
+
+
 def main() -> None:
     import argparse
     ap = argparse.ArgumentParser(description=__doc__)
@@ -176,14 +316,26 @@ def main() -> None:
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--causal", action="store_true")
-    ap.add_argument("--mode", choices=["fwd", "bwd"], default="fwd")
+    ap.add_argument("--window", type=int, default=0)
+    ap.add_argument("--mode", choices=["fwd", "bwd", "decode", "page"],
+                    default="fwd")
     ap.add_argument("--iters", type=int, default=5)
     opts = ap.parse_args()
-    bs = autotune_block_sizes(
-        nq=opts.seq, nk=opts.seq, d=opts.d, batch=opts.batch,
-        heads=opts.heads, causal=opts.causal, mode=opts.mode,
-        iters=opts.iters, verbose=True)
-    print(f"best: {bs}")
+    if opts.mode == "decode":
+        bk = autotune_decode_block_k(ctx=opts.seq, heads=opts.heads,
+                                     d=opts.d, batch=opts.batch,
+                                     window=opts.window, verbose=True)
+        print(f"best decode block_k: {bk}")
+    elif opts.mode == "page":
+        ps = autotune_page_size(ctx=opts.seq, heads=opts.heads, d=opts.d,
+                                batch=opts.batch, verbose=True)
+        print(f"best page_size: {ps}")
+    else:
+        bs = autotune_block_sizes(
+            nq=opts.seq, nk=opts.seq, d=opts.d, batch=opts.batch,
+            heads=opts.heads, causal=opts.causal, window=opts.window,
+            mode=opts.mode, iters=opts.iters, verbose=True)
+        print(f"best: {bs}")
 
 
 if __name__ == "__main__":
