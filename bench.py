@@ -193,9 +193,10 @@ def main() -> None:
         "extra": {
             "config": (f"B={B} H={H} N={N} d={D} fp8 KV cache; kernel "
                        f"computes QK^T on the 2x int8 MXU path (per-head "
-                       f"int8 Q + lossless in-kernel fp8->int8 K re-grid,"
-                       f" quantize_q=True; accuracy gate 1e-2 vs naive "
-                       f"holds - tests/test_quant.py)"),
+                       f"int8 Q + in-kernel fp8->int8 K re-grid adding "
+                       f"<=0.4%-of-absmax int8-class noise, "
+                       f"quantize_q=True; accuracy gate 1e-2 vs naive - "
+                       f"tests/test_quant.py)"),
             "device": peaks["device_kind"],
             "peak_tflops": peaks["peak_tflops"],
             "sol_fraction": round(tflops_fp8_qq / peaks["peak_tflops"], 4),

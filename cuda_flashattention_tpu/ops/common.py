@@ -217,6 +217,18 @@ def dequant_cast(x: jnp.ndarray, target_dtype) -> jnp.ndarray:
     return x.astype(target_dtype)
 
 
+def quantize_q_per_head(q: jnp.ndarray, axes) -> tuple:
+    """Per-head absmax int8 quantisation of Q for the 2x int8-MXU QK
+    path (quantize_q): absmax over `axes` (the non-head dims), returns
+    (q_int8, sigma [broadcastable]). One shared implementation for the
+    prefill (flash_fwd), decode, and paged hosts."""
+    qf = q.astype(jnp.float32)
+    sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=axes, keepdims=True),
+                     1e-12) / 127.0
+    q8 = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+    return q8, sq
+
+
 def resolve_scale(scale: Optional[float], d: int) -> float:
     import math
     return 1.0 / math.sqrt(d) if scale is None else float(scale)

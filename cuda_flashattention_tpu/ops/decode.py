@@ -39,6 +39,7 @@ from cuda_flashattention_tpu.ops.common import (
     dequant_cast,
     fp8_shift_cast,
     pad_to_block,
+    quantize_q_per_head,
     resolve_scale,
     round_up,
 )
@@ -246,10 +247,7 @@ def decode_attention(
     sq_in = None
     out_dt = q.dtype
     if qq:
-        qf = q.astype(jnp.float32)
-        sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
-                         1e-12) / 127.0                       # [B,H,1]
-        q = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+        q, sq = quantize_q_per_head(q, (-1,))                 # sq [B,H,1]
         sq_in = (sq * scale).reshape(b, h_kv, group, 1)
 
     # Regroup query heads under their KV head and pad the group dim to the

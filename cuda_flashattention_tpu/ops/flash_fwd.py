@@ -72,6 +72,7 @@ from cuda_flashattention_tpu.ops.common import (
     dequant_cast,
     fp8_shift_cast,
     pad_to_block,
+    quantize_q_per_head,
     resolve_scale,
     round_up,
 )
@@ -421,11 +422,15 @@ def _fwd_kernel_kmajor(
         def _cast_kv():
             if qq and fp8_fast:
                 # re-grid the fp8 K values onto the int8 lattice so the
-                # QK matmul can run at the MXU's 2x int8 rate: per-token
+                # QK matmul can run at the MXU's 2x int8 rate. Per-token
                 # absmax quantisation put each token's max near ±448, so
-                # ×(127/448) lands in int8 with step 448/127·σ — an order
-                # finer than e4m3's own 2^-3 relative granularity (i.e.
-                # lossless re-gridding). 448/127 rides the scale rows.
+                # ×(127/448) fills int8; the re-grid rounds to a UNIFORM
+                # step of 448/127 code units — coarser than e4m3's
+                # relative 2^-3 step for components below ~1/16 of the
+                # token absmax, adding at most half a step (~0.4% of
+                # absmax, int8-class noise) on those. Gated by the same
+                # quantize_q accuracy budget. 448/127 rides the scale
+                # rows.
                 kc_ref[...] = jnp.clip(jnp.round(
                     fp8_shift_cast(k_ref[0, 0]).astype(jnp.float32)
                     * (FP8_SHIFT * (127.0 / 448.0))),
@@ -633,22 +638,23 @@ def flash_attention_forward(
         raise ValueError("quantize_q requires the bound softmax "
                          "(softmax='auto'/'bound', no segment ids)")
     if qq and k.dtype == jnp.float8_e4m3fn:
-        # fp8+qq needs the K-major kernel (the int8 re-grid lives in its
-        # cast scratch); if the sequence outgrows its VMEM state budget,
-        # fall back to plain fp8 rather than fail
-        nq_p_est = cdiv(nq, block_q) * block_q
-        if nq_p_est * (d + 128) * 4 > _KMAJOR_STATE_BUDGET:
+        # fp8+qq needs BOTH the shift-cast compute form (bf16 Q/V compute
+        # — otherwise there is no fp8→int8 re-grid and the kernel would
+        # feed raw fp8 K into an int8 matmul) AND the K-major kernel
+        # (the re-grid lives in its cast scratch). Fall back to plain
+        # fp8 dequant when either doesn't hold.
+        if q.dtype != jnp.bfloat16:
             qq = False
+        else:
+            nq_p_est = cdiv(nq, block_q) * block_q
+            if nq_p_est * (d + 128) * 4 > _KMAJOR_STATE_BUDGET:
+                qq = False
     sq = None
     if qq:
         # per-(batch,head) absmax int8 Q; σ_q·scale·log2(e) fold into the
         # k-scale rows (per-head ⇒ the rows expand to [B,H,1,N] below)
-        qf = q.astype(jnp.float32)
-        sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=(2, 3), keepdims=True),
-                         1e-12) / 127.0                     # [B,H,1,1]
-        q_p = pad_to_block(
-            jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8),
-            2, block_q)
+        q8, sq = quantize_q_per_head(q, (2, 3))             # sq [B,H,1,1]
+        q_p = pad_to_block(q8, 2, block_q)
     else:
         # softmax scale AND log2(e) folded into Q (see kernel note): one
         # fused (N,d) mul buys exp→exp2 in the kernel's hot loop

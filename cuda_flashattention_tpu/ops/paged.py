@@ -38,6 +38,7 @@ from cuda_flashattention_tpu.ops.common import (
     NEG_INF,
     cdiv,
     default_interpret,
+    quantize_q_per_head,
     resolve_scale,
 )
 from cuda_flashattention_tpu.ops.decode import (
@@ -158,10 +159,7 @@ def paged_decode_attention(
     sq_in = None
     out_dt = q.dtype
     if qq:
-        qf = q.astype(jnp.float32)
-        sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True),
-                         1e-12) / 127.0
-        q = jnp.clip(jnp.round(qf / sq), -127, 127).astype(jnp.int8)
+        q, sq = quantize_q_per_head(q, (-1,))
         sq_in = (sq * scale).reshape(b, h_kv, group, 1)
 
     g_pad = max(8, group)

@@ -104,15 +104,17 @@ def _bench_fwd(bs: BlockSizes, q, k, v, causal: bool, iters: int,
     return time_chained(step, q, iters=iters, warmup=1)
 
 
-def _bench_bwd(bs: BlockSizes, q, k, v, causal: bool, iters: int) -> float:
+def _bench_bwd(bs: BlockSizes, q, k, v, causal: bool, iters: int,
+               window: int = 0) -> float:
     from cuda_flashattention_tpu.ops.flash_bwd import (
         flash_attention_backward)
     from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
-    o, lse = flash_attention_forward(q, k, v, causal=causal)
+    o, lse = flash_attention_forward(q, k, v, causal=causal, window=window)
 
     def step(x):
         dq, _, _ = flash_attention_backward(q, k, v, o, lse, x,
-                                            causal=causal, block_sizes=bs)
+                                            causal=causal, window=window,
+                                            block_sizes=bs)
         return dq
     return time_chained(step, o, iters=iters, warmup=1)
 
@@ -135,9 +137,12 @@ def autotune_block_sizes(
 
     `mode` is "fwd" or "bwd" (tunes block_q/block_k or the *_bwd pair);
     `window` tunes window-specific tiles (the straddler-mask fraction
-    shifts the optimum — docs/IMPLEMENTATION.md "Known gaps", r1).
+    shifts the optimum — docs/IMPLEMENTATION.md "Known gaps", r1) and
+    implies `causal` (windows are causal by definition here).
     Results are cached on disk keyed by device kind + problem shape.
     """
+    if window:
+        causal = True
     dev = jax.devices()[0]
     key = json.dumps([dev.device_kind, jax.default_backend(), batch, heads,
                       nq, nk, d, str(jnp.dtype(dtype)), causal, window,
@@ -162,7 +167,7 @@ def autotune_block_sizes(
         if mode == "bwd":
             bs = BlockSizes(block_q=base.block_q, block_k=base.block_k,
                             block_q_bwd=bq, block_k_bwd=bk).clamp(nq, nk)
-            t = _bench_bwd(bs, q, k, v, causal, iters)
+            t = _bench_bwd(bs, q, k, v, causal, iters, window=window)
         else:
             bs = BlockSizes(block_q=bq, block_k=bk,
                             block_q_bwd=base.block_q_bwd,
@@ -274,10 +279,10 @@ def autotune_page_size(
     keys = jax.random.split(jax.random.PRNGKey(0), 3)
     q = jax.random.uniform(keys[2], (batch, heads, d), jnp.bfloat16,
                            -0.5, 0.5)
-    best_ps, best_t = None, float("inf")
-    for ps in (128, 256, 512, 1024):
-        if ps > ctx:
-            continue
+    cands = [ps for ps in (128, 256, 512, 1024) if ps <= ctx] or [
+        max(8, round_up(ctx, 8))]
+    best_ps, best_t = cands[0], float("inf")
+    for ps in cands:
         pages_per_seq = -(-ctx // ps)
         n_pool = batch * pages_per_seq
         kp = jax.random.uniform(keys[0], (n_pool, heads, ps, d),

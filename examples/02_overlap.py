@@ -6,11 +6,16 @@ KV blocks rotate around the ring WHILE a compute kernel chews on the
 resident block; after n steps the result must equal the sequential answer.
 
 On TPU there are no user-managed streams: the ppermute for step k+1 is
-issued before step k's matmul, and XLA's async collective scheduling
-overlaps them (the reference joins both streams with a full
-cudaDeviceSynchronize each step, :220 — the XLA schedule has no such
-join). Wall-clock for the overlapped loop is printed like the reference's
-chrono timing (:61,94-101).
+issued before step k's matmul AND pinned to it with
+`jax.lax.optimization_barrier` — issuing alone is NOT enough: scheduled
+v5e HLO shows XLA draining a bare serial permute chain back-to-back
+before any compute (docs/MEMO.md #17). Wall-clock for the overlapped
+loop is printed like the reference's chrono timing (:61,94-101), and the
+real evidence is schedule-level: `scripts/check_ring_overlap.py`
+AOT-compiles the production ring for a v5e topology and asserts every
+hidable collective-permute start/done pair straddles a kernel — the
+`cudaDeviceSynchronize`-free equivalent of the reference's dual streams
+(:192-220) that a wall-clock eyeball can't prove.
 """
 
 import _common  # noqa: F401
@@ -43,6 +48,10 @@ def main() -> int:
             acc = acc + jnp.dot(cur, w,
                                 preferred_element_type=jnp.float32)
             if step < n_dev - 1:
+                # pin the transfer in flight DURING this step's compute
+                # (without this the scheduler drains the chain first —
+                # MEMO #17; same barrier as parallel/ring.py)
+                nxt, acc = jax.lax.optimization_barrier((nxt, acc))
                 cur = nxt
         return acc
 

@@ -142,20 +142,47 @@ def test_fp8_shift_cast_exhaustive():
     assert (got[non_nan] == ref[non_nan]).all()
 
 
-@pytest.mark.parametrize("qtype,gate", [("int8", 5e-3), ("fp8", 1e-2)])
+@pytest.mark.parametrize("qtype,gate", [("int8", 1e-2), ("fp8", 2e-2)])
 def test_quantize_q_accuracy(qtype, gate):
     """quantize_q (int8-MXU QKᵀ, per-head int8 Q, fp8→int8 K re-grid)
     must stay inside the quantized-path accuracy budget vs the fp32
-    oracle — the documented trade is Q's per-head rounding (~0.4%), so
-    the int8 gate widens from 1e-3 to 5e-3; fp8 keeps its 1e-2 gate."""
+    oracle — the documented trade is Q's per-head rounding (~0.4%) plus,
+    for fp8, the int8-class re-grid noise; this fixture SHARPENS the
+    softmax (×6 scores, ×4 outlier token), which amplifies every
+    quantisation source, so the gates are 1e-2 / 2e-2 here (typical-data
+    error is ~5× smaller). Q is BF16 — the fp8 re-grid only engages
+    on the bf16 compute form, and sharp (non-uniform) attention plus an
+    outlier-bearing K make a degenerate all-zero-scores kernel fail
+    loudly rather than pass vacuously (review r2 finding)."""
     q, k, v = random_qkv(1, 4, 96, 130, 32, seed=97, dtype=jnp.float32)
-    k2, v2 = k[:, :2], v[:, :2]  # GQA: per-head σ_q ≠ per-kv-head rows
+    q = (q * 6.0).astype(jnp.bfloat16)       # sharpen the softmax
+    k2, v2 = k[:, :2] * 2.0, v[:, :2]  # GQA: per-head σ_q ≠ per-kv rows
+    # outlier token: large-norm K row stresses the absmax re-grid
+    k2 = k2.at[:, :, 7].set(k2[:, :, 7] * 4.0)
     kv = quantize_kv(k2, v2, qtype)
+    kd, vd = kv.dequantize()
     for causal in (False, True):
         o, lse = flash_attention_quantized(q, kv, causal=causal,
                                            quantize_q=True)
-        kd, vd = kv.dequantize()
         o_ref, lse_ref = naive_attention(
-            q, jnp.repeat(kd, 2, 1), jnp.repeat(vd, 2, 1), causal=causal)
+            q.astype(jnp.float32), jnp.repeat(kd, 2, 1),
+            jnp.repeat(vd, 2, 1), causal=causal)
+        # guard against the vacuous-uniform failure mode: the reference
+        # itself must be far from the uniform average of V
+        uni = jnp.mean(jnp.repeat(vd, 2, 1), axis=2, keepdims=True)
+        assert float(jnp.max(jnp.abs(o_ref - uni))) > 10 * gate
         assert_close(o, o_ref, gate, f"{qtype} quantize_q O causal={causal}")
-        assert_close(lse, lse_ref, gate, f"{qtype} quantize_q LSE")
+        assert_close(lse, lse_ref, 8e-2, f"{qtype} quantize_q LSE")
+
+
+def test_quantize_q_fp8_requires_bf16_compute():
+    """fp8 + quantize_q with non-bf16 Q must FALL BACK to the plain fp8
+    dequant path (no int8 re-grid exists there) and stay correct — the
+    r2 review caught the ungated variant feeding raw fp8 K into an int8
+    matmul."""
+    q, k, v = random_qkv(1, 2, 64, 80, 32, seed=98, dtype=jnp.float32)
+    kv = quantize_kv(k, v, "fp8")
+    kd, vd = kv.dequantize()
+    o, _ = flash_attention_quantized(q, kv, quantize_q=True)
+    o_ref, _ = naive_attention(q, kd, vd)
+    assert_close(o, o_ref, 1e-2, "fp8 quantize_q fp32-Q fallback")
