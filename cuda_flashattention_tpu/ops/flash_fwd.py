@@ -49,6 +49,11 @@ Softmax strategies (the `softmax=` knob):
       rescale), as the reference implements it. Used automatically for
       segmented (packed) inputs, where per-row visibility is
       data-dependent and the underflow check above cannot be static.
+  "bound_unchecked"  — the bound path without the lax.cond fallback.
+      The cond's untaken identity branch copies O, measured ~3 TF/s on
+      this chip; waive it when inputs are known non-adversarial
+      (normalised activations). quantize_q implies this waiver (the
+      online kernel has no int8-Q form).
 """
 
 from __future__ import annotations
@@ -606,13 +611,13 @@ def flash_attention_forward(
     if window and not causal:
         raise ValueError("window requires causal=True (causal sliding "
                          "window attention)")
-    if softmax not in ("auto", "bound", "online"):
-        raise ValueError(f"softmax must be auto|bound|online, "
-                         f"got {softmax!r}")
+    if softmax not in ("auto", "bound", "bound_unchecked", "online"):
+        raise ValueError(f"softmax must be auto|bound|bound_unchecked|"
+                         f"online, got {softmax!r}")
     # segmented visibility is data-dependent, so the bound path's static
     # underflow check can't tell "empty segment" from "bound too loose";
     # packed inputs keep the classic online softmax (module docstring)
-    use_bound = (softmax == "bound"
+    use_bound = (softmax in ("bound", "bound_unchecked")
                  or (softmax == "auto" and not segmented))
     if use_bound and segmented:
         raise ValueError("softmax='bound' is unsupported with segment "
@@ -1005,7 +1010,8 @@ def flash_attention_forward(
         )(*call_in)
 
     o, lse = _call(use_bound)
-    if use_bound and not interpret and not qq:
+    if (use_bound and not interpret and not qq
+            and softmax != "bound_unchecked"):
         # (interpret mode skips the fallback — it exists for robustness
         # on hardware, and tracing a second kernel per call would double
         # the CPU suite's lowering time; quantize_q waives it too, since
