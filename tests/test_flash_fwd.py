@@ -103,3 +103,24 @@ def test_bf16_inputs():
 def test_scale_override():
     q, k, v = random_qkv(1, 1, 64, 64, 32)
     _run(q, k, v, tol=5e-3, scale=1.0)
+
+
+def test_softmax_modes_agree():
+    """The three softmax strategies (bound default, bound_unchecked,
+    online) must agree on non-adversarial data — same kernel math, the
+    modes only trade the fallback machinery."""
+    import numpy as np
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 192, 64)), jnp.float32)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 200, 64)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 200, 64)), jnp.float32)
+    outs = {}
+    for mode in ("auto", "bound_unchecked", "online"):
+        o, lse = flash_attention_forward(q, k, v, causal=True,
+                                         softmax=mode, interpret=True)
+        outs[mode] = (o, lse)
+    for mode in ("bound_unchecked", "online"):
+        assert jnp.max(jnp.abs(outs[mode][0] - outs["auto"][0])) < 1e-5
+        assert jnp.max(jnp.abs(outs[mode][1] - outs["auto"][1])) < 1e-5
+    with pytest.raises(ValueError, match="softmax"):
+        flash_attention_forward(q, k, v, softmax="nope", interpret=True)
