@@ -40,11 +40,17 @@ Softmax strategies (the `softmax=` knob):
       the kernel at ~67% of MXU speed-of-light (VERDICT r1 #1). It is
       exact: s ≤ c so 2^(s−c) ≤ 1 never overflows, and weights more than
       ~2^126 below the bound underflow to 0 — mathematically negligible
-      UNLESS the bound is catastrophically loose (anti-aligned
-      huge-norm Q/K, slack > 126 log2 units), in which case whole rows
-      underflow to l = 0. A lax.cond fallback detects that (LSE = −inf
-      on a row that provably has visible keys) and re-runs the online
-      kernel, so the result is always exact.
+      UNLESS the bound is loose (anti-aligned huge-norm Q/K): precision
+      degrades progressively as the weights sink toward the fp32/bf16
+      subnormal range (measured ~2e-2 relative error by slack ≈ 123 log2
+      units) and whole rows underflow to l = 0 past slack ≈ 126. A
+      lax.cond fallback detects EITHER case — any visible row whose
+      measured slack c·ln2 − LSE exceeds _FALLBACK_SLACK_LOG2 (= 96)
+      log2 units, which subsumes the l = 0 / LSE = −inf cliff — and
+      re-runs the online kernel, so the result stays exact well before
+      precision loss becomes visible. (Normalised activations sit at
+      slack ≈ 20; the threshold leaves 30 log2 units of margin before
+      bf16 subnormals.)
   "online"           — the classic FA2 online-softmax (running max +
       rescale), as the reference implements it. Used automatically for
       segmented (packed) inputs, where per-row visibility is
@@ -59,6 +65,7 @@ Softmax strategies (the `softmax=` knob):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -366,6 +373,7 @@ def _fwd_kernel_kmajor(
     fp8_fast: bool,
     has_empty: bool,
     qq: bool,
+    unroll: int = 1,
 ):
     """K-MAJOR causal forward (bound softmax only).
 
@@ -464,46 +472,77 @@ def _fwd_kernel_kmajor(
         else:
             k = k_ref[0, 0]
             v = v_ref[0, 0]
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32 if qq else jnp.float32,
-        )
-        if qq:
-            s = s.astype(jnp.float32)
-        if quantized:
-            s = s * k_scale_ref[0, 0]
 
+        # Sub-chunk the KV block into `unroll` independent chains so the
+        # Mosaic scheduler can overlap chunk j's VPU elementwise chain
+        # (mask/exp2/rowsum) with chunk j+1's MXU matmuls. The monolithic
+        # body serialises MXU → VPU → MXU per step, exposing the softmax
+        # chain (~5 µs/step at (2048,2048)).
+        u = unroll if (unroll > 1 and block_k % unroll == 0) else 1
+        bk_c = block_k // u
+        ps_parts, pv_parts = [], []
         if causal:
-            # UNIFORM (branch-free) masking: a dual @pl.when(straddle)
-            # branch pair measured 5 µs/step SLOWER than masking every
-            # step — the iota/compare/select chain fuses into the
-            # elementwise pass while the scf.if boundary materialises S
-            # per branch. The select is correct on interior blocks too
-            # (all-true), so no straddle short-circuit either.
-            col = (jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-                   + ik * block_k)
-            row = (jax.lax.broadcasted_iota(jnp.int32, (s.shape[0], 1), 0)
+            row = (jax.lax.broadcasted_iota(jnp.int32, (block_q, 1), 0)
                    + q_first)
-            ok = col <= row
-            if window:
-                ok = jnp.logical_and(ok, col > row - window)
-            if nk_valid % block_k != 0:
-                ok = jnp.logical_and(ok, col < nk_valid)
-            s = jnp.where(ok, s, NEG_INF)
-        elif nk_valid % block_k != 0:
-            col = (jax.lax.broadcasted_iota(jnp.int32, (1, s.shape[1]), 1)
-                   + ik * block_k)
-            s = jnp.where(jnp.logical_or(ik != nk_blocks - 1,
-                                         col < nk_valid), s, NEG_INF)
+        # Phase 1: issue ALL QK^T matmuls (MXU-only). Phase 2 below runs
+        # each chunk's elementwise chain + PV matmul; with in-order issue,
+        # chunk j's VPU chain then overlaps chunk j+1's pending matmuls.
+        s_parts = []
+        for j in range(u):
+            kj = (k if u == 1 else
+                  jax.lax.slice_in_dim(k, j * bk_c, (j + 1) * bk_c, axis=0))
+            s_parts.append(jax.lax.dot_general(
+                q, kj, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32 if qq else jnp.float32,
+            ))
+        for j in range(u):
+            s = s_parts[j]
+            vj = (v if u == 1 else
+                  jax.lax.slice_in_dim(v, j * bk_c, (j + 1) * bk_c, axis=0))
+            if qq:
+                s = s.astype(jnp.float32)
+            if quantized:
+                ksc = k_scale_ref[0, 0]
+                if u > 1:
+                    ksc = jax.lax.slice_in_dim(
+                        ksc, j * bk_c, (j + 1) * bk_c, axis=1)
+                s = s * ksc
 
-        p = jnp.exp2(s - c_ref[0, 0])
-        ps = jnp.sum(p, axis=-1, keepdims=True)
-        if quantized:
-            p = p * v_scale_ref[0, 0]
-        pv = jax.lax.dot_general(
-            p.astype(cd), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+            if causal:
+                # UNIFORM (branch-free) masking: a dual @pl.when(straddle)
+                # branch pair measured 5 µs/step SLOWER than masking every
+                # step — the iota/compare/select chain fuses into the
+                # elementwise pass while the scf.if boundary materialises S
+                # per branch. The select is correct on interior blocks too
+                # (all-true), so no straddle short-circuit either.
+                col = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, s.shape[1]), 1) + ik * block_k + j * bk_c)
+                ok = col <= row
+                if window:
+                    ok = jnp.logical_and(ok, col > row - window)
+                if nk_valid % block_k != 0:
+                    ok = jnp.logical_and(ok, col < nk_valid)
+                s = jnp.where(ok, s, NEG_INF)
+            elif nk_valid % block_k != 0:
+                col = (jax.lax.broadcasted_iota(
+                    jnp.int32, (1, s.shape[1]), 1) + ik * block_k + j * bk_c)
+                s = jnp.where(jnp.logical_or(ik != nk_blocks - 1,
+                                             col < nk_valid), s, NEG_INF)
+
+            p = jnp.exp2(s - c_ref[0, 0])
+            ps_parts.append(jnp.sum(p, axis=-1, keepdims=True))
+            if quantized:
+                vsc = v_scale_ref[0, 0]
+                if u > 1:
+                    vsc = jax.lax.slice_in_dim(
+                        vsc, j * bk_c, (j + 1) * bk_c, axis=1)
+                p = p * vsc
+            pv_parts.append(jax.lax.dot_general(
+                p.astype(cd), vj, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ))
+        ps = functools.reduce(jnp.add, ps_parts)
+        pv = functools.reduce(jnp.add, pv_parts)
 
         # first visit STORES — no separate zero-init pass
         @pl.when(is_first)
@@ -541,12 +580,27 @@ def _fwd_kernel_kmajor(
 # beyond this budget the host falls back to the Q-major band grid.
 _KMAJOR_STATE_BUDGET = 24 * 1024 * 1024
 
+# KV-chunking factor for the K-major kernel body (MXU/VPU overlap — see
+# _fwd_kernel_kmajor). Env-overridable for experiments.
+_FWD_UNROLL = int(os.environ.get("CFA_FWD_UNROLL", "1"))
+
+# Score-bound softmax fallback trigger (log2 units): re-run the online
+# kernel when any visible row's bound slack (c·ln2 − LSE, i.e. how far
+# the whole row's weights sit below the bound) exceeds this. fp32/bf16
+# weight precision starts degrading as weights approach the 2^-126
+# subnormal cliff (ADVICE r2: ~2e-2 relative error by slack ≈ 123);
+# 96 leaves a 30-log2-unit guard band while sitting far above the
+# slack ≈ 20 of normalised activations, so false triggers don't occur
+# in practice.
+_FALLBACK_SLACK_LOG2 = 96.0
+
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "scale", "causal", "window", "kv_offset", "block_sizes",
         "interpret", "out_dtype", "softmax", "quantize_q",
+        "_fallback_in_interpret",
     ),
 )
 def flash_attention_forward(
@@ -566,6 +620,7 @@ def flash_attention_forward(
     kv_segment_ids: Optional[jnp.ndarray] = None,
     softmax: str = "auto",
     quantize_q: bool = False,
+    _fallback_in_interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """FA2 forward. q [B,H,Nq,d], k/v [B,Hkv,Nk,d] → (O [B,H,Nq,d], LSE [B,H,Nq]).
 
@@ -847,6 +902,17 @@ def flash_attention_forward(
         k_norms = jnp.sqrt(jnp.sum(kf * kf, axis=-1))        # [B,Hkv,Nk]
         if quantized:
             k_norms = k_norms * k_scale.astype(jnp.float32)
+            if qq and fp8_fast:
+                # The in-kernel fp8→int8 re-grid (K-major cast scratch)
+                # rounds each K component by up to half an int8 step —
+                # 224/127 fp8-code units × the per-token scale — so the
+                # effective scores can exceed the bound computed from the
+                # exact fp8 values. Inflate each token's norm by the
+                # worst-case ‖ΔK‖₂ = √d·(224/127)·σ so the s ≤ c
+                # invariant survives the re-grid (ADVICE r2; the bound
+                # grows by ~1e-2 log2 units — invisible in the weights).
+                k_norms = k_norms + (k_scale.astype(jnp.float32)
+                                     * (np.sqrt(d) * 224.0 / 127.0))
         kmax = jnp.max(k_norms, axis=-1)[:, :, None, None]   # [B,Hkv,1,1]
         if group > 1:
             kmax = jnp.repeat(kmax, group, axis=1)
@@ -872,6 +938,7 @@ def flash_attention_forward(
                 fp8_fast=fp8_fast,
                 has_empty=km_has_empty,
                 qq=qq,
+                unroll=_FWD_UNROLL,
             )
             km_in_specs = [
                 pl.BlockSpec((1, 1, block_q, 1), km_qmap),   # c
@@ -1010,17 +1077,22 @@ def flash_attention_forward(
         )(*call_in)
 
     o, lse = _call(use_bound)
-    if (use_bound and not interpret and not qq
+    if (use_bound and (not interpret or _fallback_in_interpret) and not qq
             and softmax != "bound_unchecked"):
-        # (interpret mode skips the fallback — it exists for robustness
-        # on hardware, and tracing a second kernel per call would double
-        # the CPU suite's lowering time; quantize_q waives it too, since
-        # the online kernel has no int8-Q form — both documented.)
-        # Safety net for a catastrophically loose bound (module
-        # docstring): if any row that PROVABLY has visible keys came out
-        # with l = 0 (LSE = NEG_INF), every weight in it underflowed —
-        # re-run with the online kernel. The compiled cond branch is
-        # dead weight except in that pathological case.
+        # (interpret mode skips the fallback unless a test opts in via
+        # _fallback_in_interpret — it exists for robustness on hardware,
+        # and tracing a second kernel per call would double the CPU
+        # suite's lowering time; quantize_q waives it too, since the
+        # online kernel has no int8-Q form — both documented.)
+        # Safety net for a loose bound (module docstring): on any row
+        # that PROVABLY has visible keys, the measured slack
+        # c·ln2 − LSE says how far the row's weights sit below the
+        # bound. Past _FALLBACK_SLACK_LOG2 the weights approach the
+        # fp32/bf16 subnormal range and precision degrades (total
+        # underflow l = 0 / LSE = −inf is the limiting case, and is
+        # subsumed: its slack is astronomically large) — re-run with
+        # the online kernel. The compiled cond branch is dead weight
+        # except in that pathological case.
         gidx = np.arange(nq) + kv_offset
         if causal:
             vis = gidx >= 0
@@ -1029,8 +1101,9 @@ def flash_attention_forward(
         else:
             vis = np.ones(nq, bool)
         visible = jnp.asarray(vis)[None, None, :, None]
-        bad = jnp.any(jnp.logical_and(lse[:, :, :nq] <= NEG_INF * 0.5,
-                                      visible))
+        slack = c_pad[:, :, :nq] * _LN2 - lse[:, :, :nq]
+        bad = jnp.any(jnp.logical_and(
+            slack > _FALLBACK_SLACK_LOG2 * _LN2, visible))
         o, lse = jax.lax.cond(
             bad, lambda: _call(False), lambda: (o, lse))
 

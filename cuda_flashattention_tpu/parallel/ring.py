@@ -406,8 +406,19 @@ def ring_decode(
     b = q.shape[0]
     n = k.shape[2]
     if n % n_shards != 0:
-        raise ValueError(f"cache len {n} must divide '{axis_name}' "
-                         f"({n_shards} shards)")
+        # Pad the cache up to the shard grid (the reference asserts
+        # divisibility instead — SURVEY §7(e), ref:
+        # 04_ring_attention.cu:56-63). Pad rows land past every live
+        # token (`lengths` ≤ n), so the decode kernel's length mask
+        # already excludes them and the window math below is unchanged.
+        n_pad = -(-n // n_shards) * n_shards
+        pad = [(0, 0), (0, 0), (0, n_pad - n), (0, 0)]
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+        if k_scale is not None:
+            spad = [(0, 0), (0, 0), (0, n_pad - n)]
+            k_scale = jnp.pad(k_scale, spad, constant_values=1.0)
+            v_scale = jnp.pad(v_scale, spad, constant_values=1.0)
+        n = n_pad
     local_n = n // n_shards
     lengths = jnp.broadcast_to(
         jnp.asarray(lengths, jnp.int32), (b,))

@@ -64,10 +64,28 @@ def ulysses_attention(
     n_shards = mesh.shape[axis_name]
     b, h, n, d = q.shape
     h_kv = k.shape[1]
-    if n % n_shards or h % n_shards:
+    if h % n_shards:
         raise ValueError(
-            f"ulysses needs seq {n} and q heads {h} divisible by the "
+            f"ulysses needs q heads {h} divisible by the "
             f"'{axis_name}' axis ({n_shards}); use the ring otherwise")
+    n_orig = n
+    if n % n_shards:
+        # Ragged sequences: pad to the all-to-all grid (SURVEY §7(e) —
+        # the reference asserts divisibility, 04_ring_attention.cu:56-63).
+        # Causal needs no masking (pad rows sit past every real row, so
+        # no real query ever sees a pad key); non-causal threads
+        # pad-marking segment ids — pad rows get id −1, matching no real
+        # row (pad-vs-pad matches are harmless: those outputs are sliced
+        # off below).
+        n = -(-n // n_shards) * n_shards
+        pad = [(0, 0), (0, 0), (0, n - n_orig), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        if segment_ids is None and not causal:
+            segment_ids = jnp.zeros((b, n_orig), jnp.int32)
+        if segment_ids is not None:
+            segment_ids = jnp.pad(
+                jnp.asarray(segment_ids, jnp.int32),
+                [(0, 0), (0, n - n_orig)], constant_values=-1)
     if h_kv % n_shards:
         # head-replication fallback: repeat each KV head `rep` times so
         # the total shards evenly; query-head grouping survives iff rep
@@ -114,7 +132,9 @@ def ulysses_attention(
             local, mesh=mesh,
             in_specs=(spec, spec, spec, P(batch_axis, axis_name)),
             out_specs=spec, check_vma=False)
-        return f(q, k, v, jnp.asarray(segment_ids, jnp.int32))
-    f = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
-                      out_specs=spec, check_vma=False)
-    return f(q, k, v)
+        out = f(q, k, v, jnp.asarray(segment_ids, jnp.int32))
+    else:
+        f = jax.shard_map(local, mesh=mesh, in_specs=(spec, spec, spec),
+                          out_specs=spec, check_vma=False)
+        out = f(q, k, v)
+    return out[:, :, :n_orig]

@@ -124,3 +124,82 @@ def test_softmax_modes_agree():
         assert jnp.max(jnp.abs(outs[mode][1] - outs["auto"][1])) < 1e-5
     with pytest.raises(ValueError, match="softmax"):
         flash_attention_forward(q, k, v, softmax="nope", interpret=True)
+
+
+def _adversarial_qkv(slack_log2, n=256, d=32, jitter=0.0, seed=3):
+    """Anti-aligned huge-norm Q/K whose score bound is loose by
+    ~`slack_log2` log2 units: q rides e0, k rides e1 (orthogonal), so
+    every score ≈ 0 while the Cauchy–Schwarz bound is ‖q‖·‖k‖·scale·log2e
+    ≈ slack_log2. `jitter` adds per-key e0 components spreading the true
+    scores over [-jitter, 0] (non-uniform weights, so bf16 subnormal loss
+    in the bound path is visible instead of cancelling)."""
+    rng = np.random.default_rng(seed)
+    scale = 1.0 / np.sqrt(d)
+    log2e = 1.4426950408889634
+    a = np.sqrt(slack_log2 / (scale * log2e))
+    q = np.zeros((1, 1, n, d), np.float32)
+    k = np.zeros((1, 1, n, d), np.float32)
+    q[..., 0] = a
+    k[..., 1] = a
+    if jitter:
+        # score_j = a * delta_j * scale; spread log2-scores over
+        # [-jitter, 0]:  delta_j = -u_j * jitter / (a * scale * log2e)
+        u = rng.uniform(0.0, 1.0, n)
+        k[0, 0, :, 0] = -u * jitter / (a * scale * log2e)
+    v = rng.uniform(-0.5, 0.5, (1, 1, n, d)).astype(np.float32)
+    return jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+
+
+def test_bound_fallback_total_underflow():
+    """Catastrophic bound slack (> 126 log2 units): every weight
+    underflows to 0 in the bound kernel. bound_unchecked must emit the
+    degraded O=0/LSE=-inf rows (proving the data is adversarial — the
+    anti-vacuous guard), and the default path's lax.cond fallback must
+    re-run the online kernel and match it exactly (VERDICT r2 #5)."""
+    q, k, v = _adversarial_qkv(slack_log2=135.0)
+    o_unc, lse_unc = flash_attention_forward(
+        q, k, v, softmax="bound_unchecked", interpret=True)
+    assert float(jnp.max(jnp.abs(o_unc))) == 0.0, \
+        "fixture not adversarial: bound kernel did not underflow"
+    assert float(jnp.max(lse_unc)) < -1e29
+    o_on, lse_on = flash_attention_forward(
+        q, k, v, softmax="online", interpret=True)
+    o, lse = flash_attention_forward(
+        q, k, v, softmax="auto", interpret=True,
+        _fallback_in_interpret=True)
+    assert float(jnp.max(jnp.abs(o - o_on))) < 1e-6
+    assert float(jnp.max(jnp.abs(lse - lse_on))) < 1e-5
+
+
+def test_bound_fallback_slack_threshold():
+    """Bound slack ~124 log2 units WITH l > 0: the old l==0 trigger never
+    fires here, but weights sit in bf16-subnormal territory and the
+    bound path's output is measurably degraded (ADVICE r2 medium). The
+    widened slack trigger must catch it and restore the online result."""
+    q, k, v = _adversarial_qkv(slack_log2=124.0, jitter=3.0)
+    o_unc, lse_unc = flash_attention_forward(
+        q, k, v, softmax="bound_unchecked", interpret=True)
+    # l > 0: rows did NOT totally underflow (old trigger would not fire)
+    assert float(jnp.min(lse_unc)) > -1e29, \
+        "fixture overshot: rows hit total underflow, not the gray zone"
+    o_on, _ = flash_attention_forward(
+        q, k, v, softmax="online", interpret=True)
+    degraded = float(jnp.max(jnp.abs(o_unc - o_on)))
+    assert degraded > 1e-4, \
+        f"fixture not in the degradation zone (diff {degraded:.2e})"
+    o, lse = flash_attention_forward(
+        q, k, v, softmax="auto", interpret=True,
+        _fallback_in_interpret=True)
+    assert float(jnp.max(jnp.abs(o - o_on))) < 1e-6
+
+
+def test_bound_fallback_moderate_slack_accuracy():
+    """Fuzz at moderate slack (~60 log2 units, BELOW the 96 trigger): the
+    bound path must stay accurate on its own — the fallback is a cliff
+    guard, not a crutch (VERDICT r2 #5c)."""
+    q, k, v = _adversarial_qkv(slack_log2=60.0, jitter=3.0, seed=11)
+    o_unc, _ = flash_attention_forward(
+        q, k, v, softmax="bound_unchecked", interpret=True)
+    o_on, _ = flash_attention_forward(
+        q, k, v, softmax="online", interpret=True)
+    assert float(jnp.max(jnp.abs(o_unc - o_on))) < 1e-4

@@ -284,3 +284,27 @@ def test_ring_sliding_window():
         assert_close(dq, dq_r, 2e-3, name=f"ring win{window} dQ")
         assert_close(dk, dk_r, 2e-3, name=f"ring win{window} dK")
         assert_close(dv, dv_r, 2e-3, name=f"ring win{window} dV")
+
+
+@needs_multi
+def test_ring_decode_ragged_cache():
+    """Cache length that does NOT divide the shard axis: ring_decode pads
+    to the shard grid (the last SURVEY §7(e) assert-dodge — VERDICT r2
+    #7); pad rows sit past `lengths` so the length mask excludes them."""
+    mesh = _mesh_n(4)
+    n = 250  # 250 % 4 != 0
+    _, k, v = random_qkv(1, 2, 0, n, 32)
+    q = jnp.asarray(seeded_random((1, 2, 32), 9))
+    for glen in (n, 123):
+        o, lse = ring_decode(q, k, v, glen, mesh)
+        o_ref, lse_ref = naive_attention(
+            q[:, :, None, :], k[:, :, :glen], v[:, :, :glen])
+        assert_close(o, o_ref[:, :, 0], 5e-3, f"ragged ring decode O@{glen}")
+        assert_close(lse, lse_ref[:, :, 0], 1e-2,
+                     f"ragged ring decode LSE@{glen}")
+    # quantized ragged: scale rows pad too
+    kv = quantize_kv(k, v, "int8")
+    o, _ = ring_decode(q, kv.k_q, kv.v_q, n, mesh,
+                       k_scale=kv.k_scale, v_scale=kv.v_scale)
+    o_ref, _ = naive_attention(q[:, :, None, :], k, v)
+    assert_close(o, o_ref[:, :, 0], 5e-3, "ragged ring decode int8 O")

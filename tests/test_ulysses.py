@@ -110,3 +110,33 @@ def test_ulysses_segment_ids(setup):
     o_ref, _ = naive_attention(q, k, v, q_segment_ids=ids,
                                kv_segment_ids=ids)
     assert_close(o, o_ref, 2e-3, name="ulysses segments")
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ulysses_ragged_seq(setup, causal):
+    """seq % shards != 0: ulysses pads to the all-to-all grid (VERDICT r2
+    #9) — causal needs no mask (pad rows trail every real row), non-causal
+    threads pad-marking segment ids so real queries never see pad keys."""
+    mesh, _, _ = setup
+    b, h, n, d = 1, 4, 50, 16  # 50 % 4 != 0
+    q = jnp.asarray(seeded_random((b, h, n, d), seed=161))
+    k = jnp.asarray(seeded_random((b, h, n, d), seed=162))
+    v = jnp.asarray(seeded_random((b, h, n, d), seed=163))
+    o = ulysses_attention(q, k, v, mesh=mesh, causal=causal)
+    assert o.shape == q.shape
+    o_ref, _ = naive_attention(q, k, v, causal=causal)
+    assert_close(o, o_ref, 2e-3, name=f"ulysses ragged causal={causal}")
+
+
+def test_ulysses_ragged_segment_ids(setup):
+    """Ragged seq + user segment ids: the pad extends the ids with -1."""
+    mesh, _, _ = setup
+    b, h, n, d = 1, 4, 50, 16
+    q = jnp.asarray(seeded_random((b, h, n, d), seed=164))
+    k = jnp.asarray(seeded_random((b, h, n, d), seed=165))
+    v = jnp.asarray(seeded_random((b, h, n, d), seed=166))
+    ids = jnp.asarray([[0] * 30 + [1] * 20], jnp.int32)
+    o = ulysses_attention(q, k, v, mesh=mesh, segment_ids=ids)
+    o_ref, _ = naive_attention(q, k, v, q_segment_ids=ids,
+                               kv_segment_ids=ids)
+    assert_close(o, o_ref, 2e-3, name="ulysses ragged segments")
