@@ -44,49 +44,70 @@ def main() -> None:
 
     q, k, v = mk((B, H, N, D)), mk((B, H, N, D)), mk((B, H, N, D))
 
+    # All forward rows chain >=20 iterations: the tunnelled backend's
+    # fixed relay latency under-amortises at iters=10 (measured ~10% low
+    # on a 10 ms causal step — VERDICT r2 "make the bench trustworthy").
+    FWD_ITERS = 20
+
     # --- headline: FA2 forward with FP8 KV (north star), plus bf16 and
     # int8 for context (output feeds next query) ---
     kv_fp8 = quantize_kv(k, v, "fp8")
     t_fp8 = time_chained(
         lambda x: flash_attention_forward(
             x, kv_fp8.k_q, kv_fp8.v_q, k_scale=kv_fp8.k_scale,
-            v_scale=kv_fp8.v_scale)[0], q, iters=10)
+            v_scale=kv_fp8.v_scale)[0], q, iters=FWD_ITERS)
     tflops_fp8 = attention_flops(B, H, N, N, D) / t_fp8 / 1e12
     t_fp8_qq = time_chained(
         lambda x: flash_attention_forward(
             x, kv_fp8.k_q, kv_fp8.v_q, k_scale=kv_fp8.k_scale,
-            v_scale=kv_fp8.v_scale, quantize_q=True)[0], q, iters=10)
+            v_scale=kv_fp8.v_scale, quantize_q=True)[0], q,
+        iters=FWD_ITERS)
     tflops_fp8_qq = attention_flops(B, H, N, N, D) / t_fp8_qq / 1e12
     kv_i8 = quantize_kv(k, v, "int8")
     t_i8 = time_chained(
         lambda x: flash_attention_forward(
             x, kv_i8.k_q, kv_i8.v_q, k_scale=kv_i8.k_scale,
-            v_scale=kv_i8.v_scale)[0], q, iters=10)
+            v_scale=kv_i8.v_scale)[0], q, iters=FWD_ITERS)
     tflops_i8 = attention_flops(B, H, N, N, D) / t_i8 / 1e12
     # int8 KV + per-head int8 Q: QK^T on the MXU's 2x int8 path
     t_i8_qq = time_chained(
         lambda x: flash_attention_forward(
             x, kv_i8.k_q, kv_i8.v_q, k_scale=kv_i8.k_scale,
-            v_scale=kv_i8.v_scale, quantize_q=True)[0], q, iters=10)
+            v_scale=kv_i8.v_scale, quantize_q=True)[0], q,
+        iters=FWD_ITERS)
     tflops_i8_qq = attention_flops(B, H, N, N, D) / t_i8_qq / 1e12
     del kv_i8
 
     t_fwd = time_chained(
-        lambda x: flash_attention_forward(x, k, v)[0], q, iters=10)
+        lambda x: flash_attention_forward(x, k, v)[0], q, iters=FWD_ITERS)
     tflops_fwd = attention_flops(B, H, N, N, D) / t_fwd / 1e12
 
     t_c = time_chained(
         lambda x: flash_attention_forward(x, k, v, causal=True)[0], q,
-        iters=10)
+        iters=FWD_ITERS)
     tflops_causal = attention_flops(B, H, N, N, D, causal=True) / t_c / 1e12
     t_c8 = time_chained(
         lambda x: flash_attention_forward(
             x, kv_fp8.k_q, kv_fp8.v_q, k_scale=kv_fp8.k_scale,
             v_scale=kv_fp8.v_scale, causal=True, quantize_q=True)[0],
-        q, iters=10)
+        q, iters=FWD_ITERS)
     tflops_causal_fp8 = (attention_flops(B, H, N, N, D, causal=True)
                          / t_c8 / 1e12)
     del kv_fp8
+
+    # --- long-seq causal prefill (N=65536): past ~24k rows at d=128 the
+    # K-major kernel's full-sequence VMEM state exceeds its budget and
+    # the host falls back to the Q-major band grid — this row watches
+    # that cliff (VERDICT r2 #6). B*H shrinks to keep HBM/time sane.
+    n_long = 65536
+    ql = mk((1, 4, n_long, D))
+    kl, vl = mk((1, 4, n_long, D)), mk((1, 4, n_long, D))
+    t_cl = time_chained(
+        lambda x: flash_attention_forward(x, kl, vl, causal=True)[0], ql,
+        iters=5)
+    tflops_causal_65k = (attention_flops(1, 4, n_long, n_long, D,
+                                         causal=True) / t_cl / 1e12)
+    del ql, kl, vl
 
     # --- forward+backward (training shape; dq feeds next q) ---
     do = mk((B, H, N, D))
@@ -124,8 +145,35 @@ def main() -> None:
                         x, kv.k_q, kv.v_q, lengths, k_scale=kv.k_scale,
                         v_scale=kv.v_scale)[0], dq, iters=iters)
                 decode[f"{qt}_ctx{ctx}{tag}"] = db / t
+                # + per-head int8 Q (2x int8 MXU, no K cast) — the GQA
+                # serving configuration (VERDICT r2 #2)
+                t = time_chained(
+                    lambda x: decode_attention(
+                        x, kv.k_q, kv.v_q, lengths, k_scale=kv.k_scale,
+                        v_scale=kv.v_scale, quantize_q=True)[0], dq,
+                    iters=iters)
+                decode[f"{qt}_ctx{ctx}{tag}_qq"] = db / t
                 del kv
             del _k, _v
+
+    # --- windowed decode (sliding-window serving: O(window) work per
+    # step regardless of context — VERDICT r2 #6) ---
+    wctx, wwin = 131072, 4096
+    _k, _v = mk((db, dh, wctx, dd)), mk((db, dh, wctx, dd))
+    dq = mk((db, dh, dd))
+    lengths = jnp.full((db,), wctx, jnp.int32)
+    t_w = time_chained(
+        lambda x: decode_attention(x, _k, _v, lengths, window=wwin)[0],
+        dq, iters=60)
+    decode[f"bf16_ctx{wctx}_win{wwin}"] = db / t_w
+    kv = quantize_kv(_k, _v, "int8")
+    t_w = time_chained(
+        lambda x: decode_attention(
+            x, kv.k_q, kv.v_q, lengths, k_scale=kv.k_scale,
+            v_scale=kv.v_scale, window=wwin, quantize_q=True)[0],
+        dq, iters=60)
+    decode[f"int8_ctx{wctx}_win{wwin}_qq"] = db / t_w
+    del kv, _k, _v
 
     # --- 1M-token context decode, int8 and fp8 KV (north-star
     # long-context serving points; B=1 so the quantized cache fits HBM) ---
@@ -139,8 +187,13 @@ def main() -> None:
                             jnp.int8)
     t = time_chained(
         lambda x: decode_attention(
-            x, k1, v1, len1m, k_scale=sc, v_scale=sc)[0], dq1, iters=5)
+            x, k1, v1, len1m, k_scale=sc, v_scale=sc)[0], dq1, iters=15)
     decode[f"int8_ctx{ctx1m}"] = 1.0 / t
+    t = time_chained(
+        lambda x: decode_attention(
+            x, k1, v1, len1m, k_scale=sc, v_scale=sc,
+            quantize_q=True)[0], dq1, iters=15)
+    decode[f"int8_ctx{ctx1m}_qq"] = 1.0 / t
     # reuse the int8 bit patterns as fp8 codes, zeroing the two NaN codes
     def to_fp8(x):
         u = jax.lax.bitcast_convert_type(x, jnp.uint8)
@@ -149,8 +202,13 @@ def main() -> None:
     k1, v1 = jax.jit(to_fp8)(k1), jax.jit(to_fp8)(v1)
     t = time_chained(
         lambda x: decode_attention(
-            x, k1, v1, len1m, k_scale=sc, v_scale=sc)[0], dq1, iters=5)
+            x, k1, v1, len1m, k_scale=sc, v_scale=sc)[0], dq1, iters=15)
     decode[f"fp8_ctx{ctx1m}"] = 1.0 / t
+    t = time_chained(
+        lambda x: decode_attention(
+            x, k1, v1, len1m, k_scale=sc, v_scale=sc,
+            quantize_q=True)[0], dq1, iters=15)
+    decode[f"fp8_ctx{ctx1m}_qq"] = 1.0 / t
     del k1, v1, sc
 
     # --- flagship model train step (single chip): tokens/s + MFU ---
@@ -174,7 +232,10 @@ def main() -> None:
     def train_once(p):
         p2, _, loss = step(p, opt_state, tokens)
         return p2
-    t_train = time_chained(train_once, params, iters=3, warmup=1)
+    # iters>=10: at iters=3 the relay under-amortises and the recorded
+    # MFU reads ~3 points low (BENCH_r02 53.4% vs 56.8% measured at
+    # proper chaining — VERDICT r2 #6).
+    t_train = time_chained(train_once, params, iters=10, warmup=1)
     toks_per_s = tokens.size / t_train
     # 6·P matmul flops per token (fwd 2P + bwd 4P) + attention extra
     train_flops = (6.0 * n_params * tokens.size

@@ -47,7 +47,8 @@ from cuda_flashattention_tpu.ops.common import (
 
 def attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
                  m_s, l_s, acc_s, *, col0, length, win, scale: float,
-                 quantized: bool, fp8_fast: bool, sq_ref=None):
+                 quantized: bool, k_fast: bool, v_fast: bool,
+                 sq_ref=None):
     """One online-softmax update of the decode state against one cache
     block — THE shared kernel body of contiguous decode (grid over
     clamped cache blocks) and paged decode (grid over gathered physical
@@ -56,24 +57,22 @@ def attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
     dynamic scalars. `sq_ref` (quantize_q): (G,1) per-head σ_q·scale
     column; Q and K are int8 and QKᵀ runs at the MXU's 2× int8 rate with
     NO K cast — the cast was the exposed cost in GQA decode, where the
-    skinny matmuls leave nothing to hide it under."""
+    skinny matmuls leave nothing to hide it under. `k_fast`/`v_fast`
+    flag the fp8 5-op shift-cast per array (the host folds 2^120 into
+    the matching scale rows), so a MIXED int8-K/fp8-V cache gets the
+    int8 matmul on K and the cheap cast on V independently."""
     q = q_ref[0, 0]  # (G, d)
     qq = sq_ref is not None
     cd = jnp.bfloat16 if qq else q.dtype
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     if quantized:
-        if qq:
-            v = dequant_cast(v, cd)  # K stays int8
-        elif fp8_fast:
-            # 5-op shift cast, 2^120 folded into the scale rows
-            # (ops/common.py fp8_shift_cast) — dequant was what made
-            # fp8 decode trail int8 at long context (VERDICT r1 #2)
-            k = fp8_shift_cast(k)
-            v = fp8_shift_cast(v)
-        else:
-            k = dequant_cast(k, cd)
-            v = dequant_cast(v, cd)
+        if not qq:  # qq: K stays int8 for the 2x-rate MXU matmul
+            # 5-op shift cast for fp8 (2^120 folded into the scale rows,
+            # ops/common.py fp8_shift_cast — dequant was what made fp8
+            # decode trail int8 at long context, VERDICT r1 #2)
+            k = fp8_shift_cast(k) if k_fast else dequant_cast(k, cd)
+        v = fp8_shift_cast(v) if v_fast else dequant_cast(v, cd)
     if qq:
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
@@ -131,7 +130,8 @@ def _decode_kernel(
     scale: float,
     block_k: int,
     quantized: bool,
-    fp8_fast: bool,
+    k_fast: bool,
+    v_fast: bool,
     qq: bool,
     group: int,
     windowed: bool,
@@ -182,7 +182,7 @@ def _decode_kernel(
         attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
                      m_s, l_s, acc_s, col0=ik * block_k, length=length,
                      win=win, scale=scale, quantized=quantized,
-                     fp8_fast=fp8_fast, sq_ref=sq_ref)
+                     k_fast=k_fast, v_fast=v_fast, sq_ref=sq_ref)
 
     @pl.when(pl.program_id(2) == nblk - 1)
     def _epilogue():
@@ -307,13 +307,18 @@ def decode_attention(
         pl.BlockSpec((1, 1, block_k, d), kv_index),
     ]
     inputs = [q_g, k_p, v_p]
-    fp8_fast = (quantized and k.dtype == jnp.float8_e4m3fn
-                and q.dtype == jnp.bfloat16)
+    # fp8 shift-cast eligibility, PER ARRAY (a mixed int8-K/fp8-V cache
+    # flags only V): the cast target must be bf16 — q's dtype, or forced
+    # bf16 under quantize_q.
+    k_fast = (quantized and k.dtype == jnp.float8_e4m3fn
+              and q.dtype == jnp.bfloat16)
+    v_fast = (quantized and v.dtype == jnp.float8_e4m3fn
+              and (qq or q.dtype == jnp.bfloat16))
     if quantized:
         # lane-major [B,Hkv,1,N] scale rows (block_k is 128-aligned above)
-        for sc in (k_scale, v_scale):
+        for sc, fast in ((k_scale, k_fast), (v_scale, v_fast)):
             sc = sc.astype(jnp.float32)
-            if fp8_fast:
+            if fast:
                 sc = sc * FP8_SHIFT  # undo the shift-cast's 2^-120
             sc = pad_to_block(sc[:, :, None, :], 3, block_k, value=1.0)
             inputs.append(sc)
@@ -329,8 +334,8 @@ def decode_attention(
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_k=block_k,
-        quantized=quantized, fp8_fast=fp8_fast, qq=qq, group=group,
-        windowed=windowed, window_cap=window)
+        quantized=quantized, k_fast=k_fast, v_fast=v_fast, qq=qq,
+        group=group, windowed=windowed, window_cap=window)
 
     o, lse = pl.pallas_call(
         kernel,

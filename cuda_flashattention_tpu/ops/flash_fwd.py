@@ -93,6 +93,27 @@ _LOG2E = 1.4426950408889634  # log2(e): scores are carried in log2 units
 _LN2 = 0.6931471805599453
 
 
+def _loose_bound_flags(l, q_first, causal: bool, window: int,
+                       nk_valid: int):
+    """(Bq,1) per-row flags for the bound-softmax fallback: 1.0 where a
+    row that PROVABLY has visible keys came out with l < 2^-96 — its
+    weights all sit ≥ _FALLBACK_SLACK_LOG2 log2 units below the bound
+    (loose bound; precision degraded or totally underflowed). The row
+    visibility formula mirrors the host's `vis` (flash_attention_forward
+    fallback block): global row index ≥ 0, and with a window the row's
+    window must intersect [0, nk)."""
+    gidx = (jax.lax.broadcasted_iota(jnp.int32, (l.shape[0], 1), 0)
+            + q_first)
+    if causal:
+        vis = gidx >= 0
+        if window:
+            vis = jnp.logical_and(vis, gidx - window + 1 <= nk_valid - 1)
+    else:
+        vis = jnp.ones_like(gidx, jnp.bool_)
+    bad = jnp.logical_and(vis, l < 2.0 ** (-_FALLBACK_SLACK_LOG2))
+    return bad.astype(jnp.float32)
+
+
 def _fwd_kernel(
     *refs,  # inputs, outputs, scratch — see unpacking below
     causal: bool,
@@ -147,10 +168,11 @@ def _fwd_kernel(
         # per-row log2 score bound (Bq, 1), computed host-side
         c_ref = refs[0]
         refs = refs[1:]
-        (o_ref, lse_ref, l_scratch, acc_scratch) = refs
+        (o_ref, lse_ref, bad_ref, l_scratch, acc_scratch) = refs
         m_scratch = None
     else:
         c_ref = None
+        bad_ref = None
         (o_ref, lse_ref, m_scratch, l_scratch, acc_scratch) = refs
     if compact:
         t = pl.program_id(2)
@@ -356,6 +378,17 @@ def _fwd_kernel(
         lse = jnp.where(l == 0.0, NEG_INF,
                         m * _LN2 + jnp.log(l_safe))
         lse_ref[0, 0] = lse  # (Bq, 1)
+        if bound:
+            # Per-row loose-bound flag for the host's fallback cond:
+            # l = Σ 2^(s−c) < 2^−96 means every weight in the row sits
+            # ≥ 96 log2 units below the bound (equivalently c·ln2 − LSE
+            # > 96·ln2 — same check the host used to run over the full
+            # [B,H,N] LSE, now a few epilogue VPU ops; measured ~5 TF/s
+            # of causal throughput). Rows that provably see no keys
+            # (the host's `vis` formula, replicated on in-kernel iota)
+            # are excluded — their l = 0 is legitimate.
+            bad_ref[0, 0] = _loose_bound_flags(
+                l, iq * block_q + kv_offset, causal, window, nk_valid)
 
 
 def _fwd_kernel_kmajor(
@@ -396,11 +429,11 @@ def _fwd_kernel_kmajor(
         refs = refs[2:]
     else:
         k_scale_ref = v_scale_ref = None
-    o_ref, lse_ref, l_all, acc_all = refs[:4]
+    o_ref, lse_ref, bad_ref, l_all, acc_all = refs[:5]
     # dequantised-KV cache scratch: K/V stay resident across an outer
     # group here, so the int8/fp8 → bf16 cast runs once per K block
     # instead of once per step (it was ~0.8 µs/step of fp8 VPU time)
-    kc_ref, vc_ref = (refs[4], refs[5]) if quantized else (None, None)
+    kc_ref, vc_ref = (refs[5], refs[6]) if quantized else (None, None)
 
     t = pl.program_id(2)
     iq = iq_map_ref[t]
@@ -508,7 +541,7 @@ def _fwd_kernel_kmajor(
                         ksc, j * bk_c, (j + 1) * bk_c, axis=1)
                 s = s * ksc
 
-            if causal:
+            if causal and not _MASK_OFF:  # _MASK_OFF: perf probe ONLY
                 # UNIFORM (branch-free) masking: a dual @pl.when(straddle)
                 # branch pair measured 5 µs/step SLOWER than masking every
                 # step — the iota/compare/select chain fuses into the
@@ -574,15 +607,23 @@ def _fwd_kernel_kmajor(
         o_ref[0, 0] = (acc_all[sl, :] * (1.0 / l_safe)).astype(o_ref.dtype)
         lse_ref[0, 0] = jnp.where(l == 0.0, NEG_INF,
                                   c_ref[0, 0] * _LN2 + jnp.log(l_safe))
+        # loose-bound fallback flags — see _fwd_kernel's epilogue note
+        bad_ref[0, 0] = _loose_bound_flags(
+            l, q_first, causal, window, nk_valid)
 
 
 # K-major needs the whole padded sequence's (l, acc) resident in VMEM;
 # beyond this budget the host falls back to the Q-major band grid.
-_KMAJOR_STATE_BUDGET = 24 * 1024 * 1024
+# Env-overridable for budget experiments.
+_KMAJOR_STATE_BUDGET = int(os.environ.get(
+    "CFA_KMAJOR_BUDGET", 24 * 1024 * 1024))
 
 # KV-chunking factor for the K-major kernel body (MXU/VPU overlap — see
 # _fwd_kernel_kmajor). Env-overridable for experiments.
 _FWD_UNROLL = int(os.environ.get("CFA_FWD_UNROLL", "1"))
+# Perf probe ONLY (wrong outputs): drop the causal mask chain from the
+# K-major body to measure its cost. Never set outside experiments.
+_MASK_OFF = bool(int(os.environ.get("CFA_MASK_OFF", "0")))
 
 # Score-bound softmax fallback trigger (log2 units): re-run the online
 # kernel when any visible row's bound slack (c·ln2 − LSE, i.e. how far
@@ -962,6 +1003,7 @@ def flash_attention_forward(
                     out_specs=[
                         pl.BlockSpec((1, 1, block_q, d), km_qmap),
                         pl.BlockSpec((1, 1, block_q, 1), km_qmap),
+                        pl.BlockSpec((1, 1, block_q, 1), km_qmap),
                     ],
                     scratch_shapes=(
                         [pltpu.VMEM((nq_p, 128), jnp.float32),  # l
@@ -975,6 +1017,7 @@ def flash_attention_forward(
                 ),
                 out_shape=[
                     jax.ShapeDtypeStruct((b, h, nq_p, d), out_dtype),
+                    jax.ShapeDtypeStruct((b, h, nq_p, 1), jnp.float32),
                     jax.ShapeDtypeStruct((b, h, nq_p, 1), jnp.float32),
                 ],
                 compiler_params=pltpu.CompilerParams(
@@ -1026,6 +1069,8 @@ def flash_attention_forward(
             # replication the stock jax kernel pays for its residuals.
             pl.BlockSpec((1, 1, block_q, 1), qmap),
         ]
+        if bound:  # per-row loose-bound flags (fallback cond input)
+            out_specs.append(pl.BlockSpec((1, 1, block_q, 1), qmap))
         scratch_shapes = [
             pltpu.VMEM((block_q, 128), jnp.float32),  # l
             pltpu.VMEM((block_q, d), jnp.float32),    # O accumulator
@@ -1054,7 +1099,8 @@ def flash_attention_forward(
             out_shape=[
                 jax.ShapeDtypeStruct((b, h, nq_p, d), out_dtype),
                 jax.ShapeDtypeStruct((b, h, nq_p, 1), jnp.float32),
-            ],
+            ] + ([jax.ShapeDtypeStruct((b, h, nq_p, 1), jnp.float32)]
+                 if bound else []),
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=semantics,
                 # Mosaic's default scoped-VMEM limit is 16 MiB — well
@@ -1076,7 +1122,10 @@ def flash_attention_forward(
             **grid_kw,
         )(*call_in)
 
-    o, lse = _call(use_bound)
+    if use_bound:
+        o, lse, badv = _call(True)
+    else:
+        o, lse = _call(False)
     if (use_bound and (not interpret or _fallback_in_interpret) and not qq
             and softmax != "bound_unchecked"):
         # (interpret mode skips the fallback unless a test opts in via
@@ -1085,26 +1134,18 @@ def flash_attention_forward(
         # suite's lowering time; quantize_q waives it too, since the
         # online kernel has no int8-Q form — both documented.)
         # Safety net for a loose bound (module docstring): on any row
-        # that PROVABLY has visible keys, the measured slack
-        # c·ln2 − LSE says how far the row's weights sit below the
-        # bound. Past _FALLBACK_SLACK_LOG2 the weights approach the
-        # fp32/bf16 subnormal range and precision degrades (total
-        # underflow l = 0 / LSE = −inf is the limiting case, and is
-        # subsumed: its slack is astronomically large) — re-run with
-        # the online kernel. The compiled cond branch is dead weight
-        # except in that pathological case.
-        gidx = np.arange(nq) + kv_offset
-        if causal:
-            vis = gidx >= 0
-            if window:
-                vis &= (gidx - window + 1) <= (nk - 1)
-        else:
-            vis = np.ones(nq, bool)
-        visible = jnp.asarray(vis)[None, None, :, None]
-        slack = c_pad[:, :, :nq] * _LN2 - lse[:, :, :nq]
-        bad = jnp.any(jnp.logical_and(
-            slack > _FALLBACK_SLACK_LOG2 * _LN2, visible))
+        # that PROVABLY has visible keys, slack c·ln2 − LSE past
+        # _FALLBACK_SLACK_LOG2 means the weights approach the fp32/bf16
+        # subnormal range and precision degrades (total underflow l = 0
+        # is the limiting case, and is subsumed) — re-run with the
+        # online kernel. The flags are computed in the kernel EPILOGUE
+        # (l < 2^-96 with the in-kernel visibility formula — identical
+        # math, since LSE = c·ln2 + ln l): an extra [B,H,N] host pass
+        # over c/LSE here measured ~4 TF/s of causal throughput. The
+        # compiled cond branch is dead weight except in the
+        # pathological case.
+        bad = jnp.any(badv[:, :, :nq] > 0.0)
         o, lse = jax.lax.cond(
-            bad, lambda: _call(False), lambda: (o, lse))
+            bad, lambda: tuple(_call(False)), lambda: (o, lse))
 
     return o[:, :, :nq], lse[:, :, :nq, 0]

@@ -52,18 +52,21 @@ class KVCache:
 def init_cache(batch: int, heads_kv: int, max_len: int, d: int,
                qtype: Optional[str] = None,
                dtype=jnp.bfloat16) -> KVCache:
-    """Allocate an empty cache. qtype in {None, "int8", "fp8"}."""
-    store = _storage_dtype(qtype) if qtype else dtype
+    """Allocate an empty cache. qtype in {None, "int8", "fp8", "mixed"}
+    ("mixed" = int8 K / fp8 V — the decode-serving sweet spot, see
+    ops/quant.py quantize_kv)."""
     shape = (batch, heads_kv, max_len, d)
     # k and v must be distinct buffers (not one aliased zeros array) or
     # donating the cache at a jit boundary fails with a double-donation.
     if qtype:
+        k_store = _storage_dtype("int8" if qtype == "mixed" else qtype)
+        v_store = _storage_dtype("fp8" if qtype == "mixed" else qtype)
         return KVCache(
-            jnp.zeros(shape, store), jnp.zeros(shape, store),
+            jnp.zeros(shape, k_store), jnp.zeros(shape, v_store),
             jnp.ones((batch, heads_kv, max_len), jnp.float32),
             jnp.ones((batch, heads_kv, max_len), jnp.float32),
             jnp.int32(0))
-    return KVCache(jnp.zeros(shape, store), jnp.zeros(shape, store),
+    return KVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
                    None, None, jnp.int32(0))
 
 
@@ -89,9 +92,10 @@ def append(cache: KVCache, k_new: jnp.ndarray,
                 f"{int(cache.length)} exceeds max_len {cache.max_len}")
     pos = jnp.minimum(cache.length, cache.max_len - t)
     if cache.quantized:
-        qtype = "int8" if cache.k.dtype == jnp.int8 else "fp8"
-        k_q, k_s = quantize_tensor(k_new, qtype)
-        v_q, v_s = quantize_tensor(v_new, qtype)
+        k_q, k_s = quantize_tensor(
+            k_new, "int8" if cache.k.dtype == jnp.int8 else "fp8")
+        v_q, v_s = quantize_tensor(
+            v_new, "int8" if cache.v.dtype == jnp.int8 else "fp8")
         return KVCache(
             jax.lax.dynamic_update_slice(cache.k, k_q, (0, 0, pos, 0)),
             jax.lax.dynamic_update_slice(cache.v, v_q, (0, 0, pos, 0)),

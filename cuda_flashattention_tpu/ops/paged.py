@@ -55,7 +55,8 @@ def _paged_kernel(
     scale: float,
     page_size: int,
     quantized: bool,
-    fp8_fast: bool,
+    k_fast: bool,
+    v_fast: bool,
     qq: bool,
     windowed: bool,
     window_cap: int,
@@ -102,7 +103,7 @@ def _paged_kernel(
         attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
                      m_s, l_s, acc_s, col0=ip * page_size, length=length,
                      win=win, scale=scale, quantized=quantized,
-                     fp8_fast=fp8_fast, sq_ref=sq_ref)
+                     k_fast=k_fast, v_fast=v_fast, sq_ref=sq_ref)
 
     @pl.when(pl.program_id(2) == n_pages - 1)
     def _epilogue():
@@ -205,18 +206,22 @@ def paged_decode_attention(
         pl.BlockSpec((1, 1, page_size, d), page_index),
     ]
     inputs = [q_g, k_pages, v_pages]
-    fp8_fast = (quantized and k_pages.dtype == jnp.float8_e4m3fn
-                and q.dtype == jnp.bfloat16)
+    # per-array fp8 shift-cast flags (mixed int8-K/fp8-V caches flag only
+    # V; the cast target must be bf16 — q's dtype, or forced under qq)
+    k_fast = (quantized and k_pages.dtype == jnp.float8_e4m3fn
+              and q.dtype == jnp.bfloat16)
+    v_fast = (quantized and v_pages.dtype == jnp.float8_e4m3fn
+              and (qq or q.dtype == jnp.bfloat16))
     if quantized:
         # scale pools carried [n_pages, Hkv, 1, page_size]: the (1, page)
         # row block equals the array dims → legal at any page size
-        for sc in (k_scale, v_scale):
+        for sc, fast in ((k_scale, k_fast), (v_scale, v_fast)):
             if sc.shape != (n_pool, h_kv, page_size):
                 raise ValueError(
                     f"scale pool shape {sc.shape} != "
                     f"{(n_pool, h_kv, page_size)}")
             sc = sc.astype(jnp.float32)
-            if fp8_fast:
+            if fast:
                 sc = sc * FP8_SHIFT  # undo the shift-cast's 2^-120
             inputs.append(sc[:, :, None, :])
             in_specs.append(pl.BlockSpec(
@@ -233,7 +238,8 @@ def paged_decode_attention(
 
     kernel = functools.partial(
         _paged_kernel, scale=scale, page_size=page_size,
-        quantized=quantized, fp8_fast=fp8_fast, qq=qq, windowed=windowed,
+        quantized=quantized, k_fast=k_fast, v_fast=v_fast, qq=qq,
+        windowed=windowed,
         window_cap=window)
 
     o, lse = pl.pallas_call(

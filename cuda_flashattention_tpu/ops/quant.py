@@ -39,7 +39,7 @@ INT8_MAX = 127.0
 # float8_e4m3fn: max finite 448.
 FP8_MAX = 448.0
 
-_SUPPORTED = ("int8", "fp8")
+_SUPPORTED = ("int8", "fp8", "mixed")
 
 
 def _qmax(qtype: str) -> float:
@@ -72,7 +72,9 @@ class QuantizedKV:
 
     @property
     def qtype(self) -> str:
-        return "int8" if self.k_q.dtype == jnp.int8 else "fp8"
+        kt = "int8" if self.k_q.dtype == jnp.int8 else "fp8"
+        vt = "int8" if self.v_q.dtype == jnp.int8 else "fp8"
+        return kt if kt == vt else "mixed"
 
     def dequantize(self) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Materialised fp32 K/V — for testing only; kernels never do this."""
@@ -112,7 +114,22 @@ def quantize_tensor(x: jnp.ndarray, qtype: str = "int8",
 
 def quantize_kv(k: jnp.ndarray, v: jnp.ndarray,
                 qtype: str = "int8") -> QuantizedKV:
-    """Quantize K/V [B,H,N,d] with per-token (row) scales."""
+    """Quantize K/V [B,H,N,d] with per-token (row) scales.
+
+    `qtype="mixed"` stores K int8 and V fp8 — the fp8-serving decode
+    configuration: int8 K feeds the MXU's 2× int8 QKᵀ path with ZERO
+    in-kernel cast under `quantize_q` (K dequant was the exposed VPU
+    cost of fp8 decode at long context), while V stays e4m3 for
+    heavy-tailed value distributions where fp8's relative precision
+    beats int8's uniform grid (real attention V activations; on
+    uniform test data int8 measures tighter — see the per-mode gates in
+    tests/test_quant.py). Direct int8 quantisation of K is strictly
+    more accurate than the in-kernel fp8→int8 re-grid the prefill
+    kernel applies to fp8 K under quantize_q."""
+    if qtype == "mixed":
+        k_q, k_scale = quantize_tensor(k, "int8")
+        v_q, v_scale = quantize_tensor(v, "fp8")
+        return QuantizedKV(k_q, k_scale, v_q, v_scale)
     k_q, k_scale = quantize_tensor(k, qtype)
     v_q, v_scale = quantize_tensor(v, qtype)
     return QuantizedKV(k_q, k_scale, v_q, v_scale)

@@ -185,3 +185,48 @@ def test_decode_quantize_q():
             jnp.repeat(vd[i:i + 1, :, :ln], 4, 1))
         assert_close(o[i:i + 1], o_ref[:, :, 0], 5e-3,
                      f"decode quantize_q len={ln}")
+
+
+def test_decode_fp8_bf16_q():
+    """bf16 q + fp8 cache: the 5-op shift-cast branch (k_fast/v_fast)
+    engages — no decode test used bf16 q before, so the branch had zero
+    suite coverage (ADVICE r2)."""
+    rng = np.random.default_rng(17)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2, 200, 64)), jnp.bfloat16)
+    v = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2, 200, 64)), jnp.bfloat16)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2, 64)), jnp.bfloat16)
+    kv = quantize_kv(k, v, "fp8")
+    kd, vd = kv.dequantize()
+    lengths = np.array([150, 200], np.int32)
+    o, _ = decode_attention(q, kv.k_q, kv.v_q, lengths,
+                            k_scale=kv.k_scale, v_scale=kv.v_scale,
+                            block_k=128)
+    o_ref, _ = _oracle_decode(q.astype(jnp.float32),
+                              kd.astype(jnp.float32),
+                              vd.astype(jnp.float32), lengths)
+    assert_close(o.astype(jnp.float32), o_ref, 1e-2, "O (fp8 bf16-q)")
+
+
+@pytest.mark.parametrize("qq", [False, True])
+@pytest.mark.parametrize("qdt", [jnp.float32, jnp.bfloat16])
+def test_decode_mixed_cache(qq, qdt):
+    """Mixed int8-K/fp8-V cache (ops/quant.py "mixed"): int8 K rides the
+    2x-MXU path under quantize_q with zero K cast, V keeps e4m3
+    precision via the shift-cast (bf16 q) or the rebias cast (fp32 q)."""
+    rng = np.random.default_rng(19)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2, 200, 32)), qdt)
+    v = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 2, 200, 32)), qdt)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (2, 4, 32)), qdt)
+    kv = quantize_kv(k, v, "mixed")
+    assert kv.qtype == "mixed"
+    assert kv.k_q.dtype == jnp.int8 and kv.v_q.dtype == jnp.float8_e4m3fn
+    kd, vd = kv.dequantize()
+    lengths = np.array([130, 200], np.int32)
+    o, _ = decode_attention(q, kv.k_q, kv.v_q, lengths,
+                            k_scale=kv.k_scale, v_scale=kv.v_scale,
+                            quantize_q=qq, block_k=128)
+    o_ref, _ = _oracle_decode(
+        q.astype(jnp.float32), jnp.repeat(kd, 2, 1).astype(jnp.float32),
+        jnp.repeat(vd, 2, 1).astype(jnp.float32), lengths)
+    assert_close(o.astype(jnp.float32), o_ref, 1e-2,
+                 f"O (mixed qq={qq})")

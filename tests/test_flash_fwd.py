@@ -203,3 +203,32 @@ def test_bound_fallback_moderate_slack_accuracy():
     o_on, _ = flash_attention_forward(
         q, k, v, softmax="online", interpret=True)
     assert float(jnp.max(jnp.abs(o_unc - o_on))) < 1e-4
+
+
+def test_bound_fallback_ignores_legitimately_empty_rows():
+    """Rows that provably see no keys (ring-shard kv_offset making early
+    rows precede the shard, or a window lying wholly past the shard's
+    keys) emit l=0/LSE=-inf LEGITIMATELY — the in-kernel bad flags must
+    exclude them, and auto must agree with online without scrambling."""
+    rng = np.random.default_rng(23)
+    n, d = 128, 32
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, n, d)), jnp.float32)
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, n, d)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, n, d)), jnp.float32)
+    # kv_offset=-64: global rows -64..-1 precede every key -> empty
+    for kw in (dict(causal=True, kv_offset=-64),
+               # window 16 with kv_offset far past the shard: every row's
+               # window lies beyond the resident keys -> all rows empty
+               dict(causal=True, window=16, kv_offset=4 * n)):
+        o, lse = flash_attention_forward(
+            q, k, v, interpret=True, _fallback_in_interpret=True, **kw)
+        o_on, lse_on = flash_attention_forward(
+            q, k, v, softmax="online", interpret=True, **kw)
+        assert float(jnp.max(jnp.abs(o - o_on))) < 1e-6, kw
+        assert float(jnp.max(jnp.abs(lse - lse_on))) < 1e-5, kw
+    # anti-vacuous: the kv_offset=-64 case really does have empty rows
+    o, lse = flash_attention_forward(
+        q, k, v, causal=True, kv_offset=-64, interpret=True,
+        _fallback_in_interpret=True)
+    assert float(jnp.max(jnp.abs(o[:, :, :64]))) == 0.0
+    assert float(jnp.max(lse[:, :, :64])) < -1e29

@@ -78,7 +78,7 @@ def test_paged_vs_oracle(setup):
         assert_close(o_p[i:i+1], r[:, :, 0], 1e-4, name=f"paged oracle {i}")
 
 
-@pytest.mark.parametrize("qtype", ["int8", "fp8"])
+@pytest.mark.parametrize("qtype", ["int8", "fp8", "mixed"])
 def test_paged_quantized(setup, qtype):
     rng, q, k, v = setup
     n = k.shape[2]
@@ -296,3 +296,75 @@ def test_bulk_append_alignment_guard():
     chunk = jnp.zeros((b, hkv, page, d), jnp.float32)
     with pytest.raises(ValueError, match="page-aligned"):
         paged_bulk_append(cache, chunk, chunk)
+
+
+def test_paged_window(setup):
+    """Sliding-window paged decode vs the windowed oracle (the window/
+    windows support shipped untested — ADVICE r2). Mirrors
+    test_decode_windows_exceeding_static_cap: a static window sizes the
+    O(window) page grid and hard-caps per-seq dynamic windows."""
+    rng, q, k, v = setup
+    n = k.shape[2]
+    lengths = jnp.asarray([n, n - 11], jnp.int32)
+    k_pool, v_pool, table = paginate(k, v, lengths, rng)
+    kf = jnp.repeat(k, H // HKV, axis=1)
+    vf = jnp.repeat(v, H // HKV, axis=1)
+    win = PAGE * 2
+    o_w, _ = paged_decode_attention(q, k_pool, v_pool, table, lengths,
+                                    window=win)
+    for i in range(B):
+        ln = int(lengths[i])
+        r, _ = naive_attention(q[i:i + 1, :, None],
+                               kf[i:i + 1, :, ln - win:ln],
+                               vf[i:i + 1, :, ln - win:ln])
+        assert_close(o_w[i:i + 1], r[:, :, 0], 1e-4,
+                     name=f"paged window {i}")
+    # per-seq dynamic windows above the static cap must be capped
+    o_c, _ = paged_decode_attention(
+        q, k_pool, v_pool, table, lengths, window=win,
+        windows=jnp.asarray([n, win // 2], jnp.int32))
+    for i, w_eff in enumerate([win, win // 2]):
+        ln = int(lengths[i])
+        r, _ = naive_attention(q[i:i + 1, :, None],
+                               kf[i:i + 1, :, ln - w_eff:ln],
+                               vf[i:i + 1, :, ln - w_eff:ln])
+        assert_close(o_c[i:i + 1], r[:, :, 0], 1e-4,
+                     name=f"paged capped dynamic window {i}")
+    # dynamic windows WITHOUT a static cap keep the full grid
+    o_d, _ = paged_decode_attention(
+        q, k_pool, v_pool, table, lengths,
+        windows=jnp.asarray([win, n], jnp.int32))
+    for i, w_eff in enumerate([win, int(lengths[1])]):
+        ln = int(lengths[i])
+        r, _ = naive_attention(q[i:i + 1, :, None],
+                               kf[i:i + 1, :, ln - w_eff:ln],
+                               vf[i:i + 1, :, ln - w_eff:ln])
+        assert_close(o_d[i:i + 1], r[:, :, 0], 1e-4,
+                     name=f"paged uncapped dynamic window {i}")
+
+
+def test_paged_fp8_bf16_q(setup):
+    """bf16 q + fp8 pages: the per-array shift-cast flags engage (no
+    paged test used bf16 q before — ADVICE r2)."""
+    rng, q, k, v = setup
+    n = k.shape[2]
+    q16, k16, v16 = (q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+                     v.astype(jnp.bfloat16))
+    kv = quantize_kv(k16, v16, "fp8")
+    lengths = jnp.asarray([n, n - 11], jnp.int32)
+    k_pool, v_pool, table = paginate(
+        kv.k_q.astype(jnp.float32), kv.v_q.astype(jnp.float32),
+        lengths, np.random.default_rng(7))
+    k_pool = k_pool.astype(kv.k_q.dtype)
+    v_pool = v_pool.astype(kv.v_q.dtype)
+    ks_pool, vs_pool, _ = paginate(
+        kv.k_scale[..., None], kv.v_scale[..., None], lengths,
+        np.random.default_rng(7))
+    o_p, _ = paged_decode_attention(
+        q16, k_pool, v_pool, table, lengths,
+        k_scale=ks_pool[..., 0], v_scale=vs_pool[..., 0])
+    o_c, _ = decode_attention(q16, kv.k_q, kv.v_q, lengths,
+                              k_scale=kv.k_scale, v_scale=kv.v_scale)
+    tol = 1e-2 if jax.default_backend() == "tpu" else 1e-3
+    assert_close(o_p.astype(jnp.float32), o_c.astype(jnp.float32), tol,
+                 name="paged fp8 bf16-q")

@@ -43,7 +43,7 @@ def test_quantize_roundtrip(qtype, tol):
     assert_close(x_hat, x, 2 * tol, f"roundtrip {qtype}")
 
 
-@pytest.mark.parametrize("qtype", ["int8", "fp8"])
+@pytest.mark.parametrize("qtype", ["int8", "fp8", "mixed"])
 def test_kernel_exact_vs_dequantized(qtype):
     """The fused-dequant kernel must equal the unquantized kernel run on
     the materialised dequantised K/V — any extra error would mean the
@@ -59,10 +59,13 @@ def test_kernel_exact_vs_dequantized(qtype):
                  f"LSE fused-vs-dequant {qtype}")
 
 
-@pytest.mark.parametrize("qtype,tol", [("int8", 1e-3), ("fp8", 1e-2)])
+@pytest.mark.parametrize("qtype,tol", [("int8", 1e-3), ("fp8", 1e-2),
+                                       ("mixed", 5e-3)])
 def test_accuracy_gate_vs_oracle(qtype, tol):
     """BASELINE.md gate: 1e-3 @ int8, 1e-2 @ fp8 vs the fp32 naive oracle
-    (seq=512, d=64 — the reference's canonical forward shape)."""
+    (seq=512, d=64 — the reference's canonical forward shape). "mixed"
+    (int8 K / fp8 V) sits between: int8-class score noise, fp8-class V
+    noise."""
     q, k, v = random_qkv(1, 1, 512, 512, 64)
     kv = quantize_kv(k, v, qtype)
     o, _ = flash_attention_quantized(q, kv)
@@ -71,13 +74,15 @@ def test_accuracy_gate_vs_oracle(qtype, tol):
     assert d < tol, f"{qtype}: max diff {d:.2e} >= gate {tol}"
 
 
-@pytest.mark.parametrize("qtype", ["int8", "fp8"])
+@pytest.mark.parametrize("qtype", ["int8", "fp8", "mixed"])
 def test_causal_quantized(qtype):
     q, k, v = random_qkv(1, 2, 128, 128, 64)
     kv = quantize_kv(k, v, qtype)
     o, _ = flash_attention_quantized(q, kv, causal=True)
     o_ref, _ = naive_attention(q, k, v, causal=True)
-    tol = 2e-2 if qtype == "fp8" else (3e-3 if ON_TPU else 2e-3)
+    # mixed carries fp8-class V noise (V errors land directly in O)
+    tol = (2e-2 if qtype in ("fp8", "mixed")
+           else (3e-3 if ON_TPU else 2e-3))
     assert_close(o, o_ref, tol, f"O causal {qtype}")
 
 
