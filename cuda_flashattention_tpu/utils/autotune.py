@@ -9,8 +9,10 @@ delivers that item TPU-natively:
   * candidates are generated from the VMEM budget model in
     `ops.common.auto_block_sizes` (the static heuristic stays the zero-cost
     default; this tuner is the measured upgrade),
-  * each candidate is timed on the live device with chained dispatch
-    (utils.timing.time_chained — safe against async dispatch), and
+  * each candidate is timed on the live device SCAN-CHAINED inside one
+    jit (utils.timing.time_scanned — safe against async dispatch AND the
+    tunnelled backend's ~1 ms per-dispatch floor, which otherwise makes
+    every sub-ms decode candidate read alike and the winner noise), and
   * results are cached per (device_kind, shape, dtype, causal, mode), both
     in-process and in an on-disk JSON so repeat runs pay nothing.
 
@@ -36,7 +38,7 @@ from cuda_flashattention_tpu.ops.common import (
     BlockSizes,
     round_up,
 )
-from cuda_flashattention_tpu.utils.timing import time_chained
+from cuda_flashattention_tpu.utils.timing import time_scanned
 
 from cuda_flashattention_tpu import config as _config
 
@@ -98,10 +100,10 @@ def _bench_fwd(bs: BlockSizes, q, k, v, causal: bool, iters: int,
                window: int = 0) -> float:
     from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
 
-    def step(x):
+    def step(x, k, v):
         return flash_attention_forward(x, k, v, causal=causal,
                                        window=window, block_sizes=bs)[0]
-    return time_chained(step, q, iters=iters, warmup=1)
+    return time_scanned(step, q, k, v, inner=4, iters=iters, warmup=1)
 
 
 def _bench_bwd(bs: BlockSizes, q, k, v, causal: bool, iters: int,
@@ -111,12 +113,13 @@ def _bench_bwd(bs: BlockSizes, q, k, v, causal: bool, iters: int,
     from cuda_flashattention_tpu.ops.flash_fwd import flash_attention_forward
     o, lse = flash_attention_forward(q, k, v, causal=causal, window=window)
 
-    def step(x):
+    def step(x, q, k, v, o, lse):
         dq, _, _ = flash_attention_backward(q, k, v, o, lse, x,
                                             causal=causal, window=window,
                                             block_sizes=bs)
         return dq
-    return time_chained(step, o, iters=iters, warmup=1)
+    return time_scanned(step, o, q, k, v, o, lse, inner=4, iters=iters,
+                        warmup=1)
 
 
 def autotune_block_sizes(
@@ -144,7 +147,7 @@ def autotune_block_sizes(
     if window:
         causal = True
     dev = jax.devices()[0]
-    key = json.dumps([dev.device_kind, jax.default_backend(), batch, heads,
+    key = json.dumps(["v2", dev.device_kind, jax.default_backend(), batch, heads,
                       nq, nk, d, str(jnp.dtype(dtype)), causal, window,
                       mode])
     if key in _MEM_CACHE:
@@ -208,7 +211,7 @@ def autotune_decode_block_k(
 
     kv_heads = kv_heads or heads
     dev = jax.devices()[0]
-    key = json.dumps([dev.device_kind, jax.default_backend(), "decode",
+    key = json.dumps(["v2", dev.device_kind, jax.default_backend(), "decode",
                       batch, heads, kv_heads, ctx, d, qtype or "bf16",
                       window])
     if key in _MEM_CACHE:
@@ -236,10 +239,10 @@ def autotune_decode_block_k(
     cands = [bk for bk in (2048, 4096, 8192, 16384) if bk <= top] or [top]
     best_bk, best_t = cands[0], float("inf")
     for bk in cands:
-        def step(x, bk=bk):
+        def step(x, k, v, bk=bk):
             return decode_attention(x, k, v, lengths, block_k=bk,
                                     window=window, **kw)[0]
-        t = time_chained(step, q, iters=iters, warmup=1)
+        t = time_scanned(step, q, k, v, inner=16, iters=iters, warmup=1)
         if verbose:
             print(f"  block_k {bk:6d} -> {t*1e3:8.3f} ms")
         if t < best_t:
@@ -267,7 +270,7 @@ def autotune_page_size(
     from cuda_flashattention_tpu.ops.quant import quantize_tensor
 
     dev = jax.devices()[0]
-    key = json.dumps([dev.device_kind, jax.default_backend(), "page",
+    key = json.dumps(["v2", dev.device_kind, jax.default_backend(), "page",
                       batch, heads, ctx, d, qtype or "bf16"])
     if key in _MEM_CACHE:
         return _MEM_CACHE[key]
@@ -298,10 +301,11 @@ def autotune_page_size(
             batch, pages_per_seq)
         lengths = jnp.full((batch,), ctx, jnp.int32)
 
-        def step(x, kp=kp, vp=vp, table=table, kw=kw):
+        def step(x, kp, vp, kw=kw, table=table):
             return paged_decode_attention(x, kp, vp, table, lengths,
                                           **kw)[0]
-        t = time_chained(step, q, iters=iters, warmup=1)
+        t = time_scanned(step, q, kp, vp, inner=16, iters=iters,
+                         warmup=1)
         if verbose:
             print(f"  page_size {ps:5d} -> {t*1e3:8.3f} ms")
         if t < best_t:

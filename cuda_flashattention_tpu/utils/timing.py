@@ -101,3 +101,35 @@ def memory_stats(device=None) -> Dict[str, int]:
     stats = dev.memory_stats() or {}
     return {k: v for k, v in stats.items()
             if "bytes" in k or "limit" in k}
+
+
+def time_scanned(fn, x0, *args, inner: int = 16, iters: int = 6,
+                 warmup: int = 1) -> float:
+    """Per-step seconds for a decode-style step chained INSIDE one jit
+    (lax.scan over `inner` steps), then across dispatches (`iters`).
+
+    The tunnelled backend has a ~1 ms per-DISPATCH floor that
+    `time_chained` cannot amortise for sub-millisecond steps (a 0.15 ms
+    quantized decode step reads as ~1.3 ms — it made int8 GQA decode
+    look 40% SLOWER than bf16 when it is 40% faster). Scanning steps
+    inside one dispatched computation is also the realistic serving
+    measurement: production decode loops jit the whole generation scan
+    exactly like models/generate.py does.
+
+    `fn(x, *args) -> pytree-like-x` must return a value matching x's
+    structure/shapes (the scan carry — e.g. decode feeds o back as q, a
+    train step feeds params); pass caches/constants via *args (NOT
+    closure captures — captured arrays re-materialise as multi-GB
+    jaxpr constants)."""
+    @jax.jit
+    def f(x, *a):
+        def body(c, _):
+            y = fn(c, *a)
+            y = jax.tree_util.tree_map(
+                lambda yi, ci: yi.astype(ci.dtype), y, c)
+            return y, None
+        y, _ = jax.lax.scan(body, x, None, length=inner)
+        return y
+
+    return time_chained(lambda x: f(x, *args), x0, iters=iters,
+                        warmup=warmup) / inner

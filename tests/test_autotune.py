@@ -42,8 +42,8 @@ def test_autotune_measures_and_caches(tmp_path, monkeypatch):
         candidates=[(128, 128), (128, 256)])
     assert isinstance(bs, BlockSizes)
     assert os.path.exists(autotune._CACHE_PATH)
-    # second call must hit the cache (no bench): poison time_chained
-    monkeypatch.setattr(autotune, "time_chained",
+    # second call must hit the cache (no bench): poison time_scanned
+    monkeypatch.setattr(autotune, "time_scanned",
                         lambda *a, **k: pytest.fail("cache miss"))
     bs2 = autotune.autotune_block_sizes(
         nq=128, nk=128, d=64, dtype=jnp.float32, iters=1,

