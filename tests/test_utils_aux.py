@@ -119,3 +119,22 @@ def test_checkpoint_npz_structure_mismatch(tmp_path, monkeypatch):
     out = ckpt.restore(path, like={"a": np.zeros((2, 3)),
                                    "b": np.zeros((4,))})
     assert (out["a"] == 1).all()
+
+
+def test_time_scanned_array_and_pytree_carry():
+    """time_scanned must accept both a plain-array carry (decode o->q)
+    and a pytree carry (train params), pass side inputs as args (not
+    jaxpr constants), and report per-step time = total/inner."""
+    import jax
+    import jax.numpy as jnp
+    from cuda_flashattention_tpu.utils.timing import time_scanned
+
+    w = jnp.full((4, 4), 0.5, jnp.float32)
+    t = time_scanned(lambda x, w_: x @ w_, jnp.ones((4, 4)), w,
+                     inner=3, iters=2, warmup=1)
+    assert t > 0.0
+    params = {"a": jnp.ones((2, 2)), "b": jnp.zeros((3,), jnp.bfloat16)}
+    t = time_scanned(
+        lambda p, s: {"a": p["a"] * s, "b": p["b"] + 1.0},
+        params, jnp.float32(0.9), inner=2, iters=2, warmup=1)
+    assert t > 0.0
