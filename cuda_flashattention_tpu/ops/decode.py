@@ -189,6 +189,28 @@ def _decode_kernel(
         decode_epilogue(o_ref, lse_ref, m_s, l_s, acc_s)
 
 
+def default_decode_block_k(k_dtype, v_dtype, q_dtype, qq: bool,
+                           window: int, has_windows: bool,
+                           max_n: int) -> int:
+    """Resolve `block_k=None`: 8192 suits bf16/int8 at any context; fp8
+    caches at long context prefer WIDE 32k blocks, which amortise the
+    shift-cast and per-block bookkeeping over 4x the bytes (measured on
+    v5e @1M ctx: 112 -> 121 tok/s). Only on the bf16 shift-cast path
+    (bf16 q, or quantize_q): fp32-q fp8 decode dequants blocks to fp32
+    and a 32k block overflows VMEM (79.8 MiB > 64, caught driving the
+    package on-chip). Windowed serving keeps the narrow default — the
+    window grid spans cdiv(window, block_k)+1 blocks, so a 4x-wide block
+    multiplies the bytes streamed per step ~4x for any window smaller
+    than it. The measuring autotuner
+    (utils/autotune.autotune_decode_block_k) overrides per shape when
+    invoked."""
+    fp8ish = (k_dtype == jnp.float8_e4m3fn or v_dtype == jnp.float8_e4m3fn)
+    fast_cast = q_dtype == jnp.bfloat16 or qq
+    no_window = int(window or 0) == 0 and not has_windows
+    return (32768 if (fp8ish and fast_cast and no_window
+                      and max_n >= 65536) else 8192)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "block_k", "window", "quantize_q",
@@ -202,7 +224,7 @@ def decode_attention(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_k: int = 8192,
+    block_k: Optional[int] = None,
     window: int = 0,
     windows: Optional[jnp.ndarray] = None,
     quantize_q: bool = False,
@@ -260,6 +282,10 @@ def decode_attention(
             sq_in = jnp.pad(sq_in,
                             ((0, 0), (0, 0), (0, g_pad - group), (0, 0)))
 
+    if block_k is None:
+        block_k = default_decode_block_k(
+            k.dtype, v.dtype, out_dt, qq, window, windows is not None,
+            max_n)
     block_k = min(block_k, max(8, max_n))
     if quantized and block_k % 128 != 0:
         # 128-aligned blocks keep the fast lane-major scale layout

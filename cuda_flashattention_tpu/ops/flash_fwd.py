@@ -622,8 +622,15 @@ _KMAJOR_STATE_BUDGET = int(os.environ.get(
 # _fwd_kernel_kmajor). Env-overridable for experiments.
 _FWD_UNROLL = int(os.environ.get("CFA_FWD_UNROLL", "1"))
 # Perf probe ONLY (wrong outputs): drop the causal mask chain from the
-# K-major body to measure its cost. Never set outside experiments.
+# K-major body to measure its cost. Never set outside experiments —
+# warn loudly so a leaked env var can't silently corrupt causal outputs.
 _MASK_OFF = bool(int(os.environ.get("CFA_MASK_OFF", "0")))
+if _MASK_OFF:
+    import warnings
+    warnings.warn(
+        "CFA_MASK_OFF=1: causal masking DISABLED in the K-major kernel — "
+        "causal outputs are WRONG. This is a mask-cost perf probe only.",
+        stacklevel=2)
 
 # Score-bound softmax fallback trigger (log2 units): re-run the online
 # kernel when any visible row's bound slack (c·ln2 − LSE, i.e. how far

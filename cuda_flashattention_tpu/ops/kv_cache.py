@@ -129,7 +129,7 @@ def decode_step(
     q: jnp.ndarray,
     cache: KVCache,
     scale: Optional[float] = None,
-    block_k: int = 8192,
+    block_k: Optional[int] = None,
     window: int = 0,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -380,13 +380,17 @@ def init_paged_cache(n_pages: int, batch: int, max_pages: int,
                      heads_kv: int, page_size: int, d: int,
                      qtype: Optional[str] = None,
                      dtype=jnp.bfloat16) -> PagedKVCache:
-    from cuda_flashattention_tpu.ops.quant import _storage_dtype
-    store = _storage_dtype(qtype) if qtype else dtype
+    from cuda_flashattention_tpu.ops.quant import _pair_qtypes, _storage_dtype
+    if qtype:
+        kt, vt = _pair_qtypes(qtype)  # "mixed" -> int8 K pool / fp8 V pool
+        k_store, v_store = _storage_dtype(kt), _storage_dtype(vt)
+    else:
+        k_store = v_store = dtype
     shape = (n_pages, heads_kv, page_size, d)
     sshape = (n_pages, heads_kv, page_size)
     # distinct buffers (no aliased arrays — donation safety, see kv_cache)
     return PagedKVCache(
-        jnp.zeros(shape, store), jnp.zeros(shape, store),
+        jnp.zeros(shape, k_store), jnp.zeros(shape, v_store),
         jnp.ones(sshape, jnp.float32) if qtype else None,
         jnp.ones(sshape, jnp.float32) if qtype else None,
         jnp.zeros((batch, max_pages), jnp.int32),
@@ -409,9 +413,14 @@ def paged_append(cache: PagedKVCache, k_new: jnp.ndarray,
     k_pages, v_pages = cache.k_pages, cache.v_pages
     ks_pool, vs_pool = cache.k_scale, cache.v_scale
     if cache.quantized:
-        qtype = "int8" if k_pages.dtype == jnp.int8 else "fp8"
-        kq, ks = quantize_tensor(k_new[:, :, None, :], qtype)  # [B,H,1,d]
-        vq, vs = quantize_tensor(v_new[:, :, None, :], qtype)
+        # per-ARRAY qtype: a "mixed" pool (int8 K / fp8 V) must quantize
+        # each array onto its own grid — int8 codes written through an
+        # fp8 cast silently double-quantize (codes > 16 are not exactly
+        # representable in e4m3).
+        kt = "int8" if k_pages.dtype == jnp.int8 else "fp8"
+        vt = "int8" if v_pages.dtype == jnp.int8 else "fp8"
+        kq, ks = quantize_tensor(k_new[:, :, None, :], kt)  # [B,H,1,d]
+        vq, vs = quantize_tensor(v_new[:, :, None, :], vt)
         k_pages = k_pages.at[pids, :, offs].set(
             kq[:, :, 0].astype(k_pages.dtype))
         v_pages = v_pages.at[pids, :, offs].set(
@@ -469,9 +478,10 @@ def paged_bulk_append(cache: PagedKVCache, k_new: jnp.ndarray,
         kc = k_new[:, :, p * ps:p * ps + w]
         vc = v_new[:, :, p * ps:p * ps + w]
         if cache.quantized:
-            qtype = "int8" if k_pages.dtype == jnp.int8 else "fp8"
-            kq, ks = quantize_tensor(kc, qtype)
-            vq, vs = quantize_tensor(vc, qtype)
+            kt = "int8" if k_pages.dtype == jnp.int8 else "fp8"
+            vt = "int8" if v_pages.dtype == jnp.int8 else "fp8"
+            kq, ks = quantize_tensor(kc, kt)
+            vq, vs = quantize_tensor(vc, vt)
             k_pages = k_pages.at[pids, :, :w].set(
                 kq.astype(k_pages.dtype))
             v_pages = v_pages.at[pids, :, :w].set(

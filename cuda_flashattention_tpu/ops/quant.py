@@ -47,11 +47,26 @@ def _qmax(qtype: str) -> float:
         return INT8_MAX
     if qtype == "fp8":
         return FP8_MAX
-    raise ValueError(f"qtype must be one of {_SUPPORTED}, got {qtype!r}")
+    # "mixed" applies at the K/V-PAIR level (quantize_kv / init_cache /
+    # init_paged_cache), never per tensor.
+    raise ValueError(
+        f"per-tensor qtype must be 'int8' or 'fp8', got {qtype!r}")
 
 
 def _storage_dtype(qtype: str):
-    return jnp.int8 if qtype == "int8" else jnp.float8_e4m3fn
+    if qtype == "int8":
+        return jnp.int8
+    if qtype == "fp8":
+        return jnp.float8_e4m3fn
+    raise ValueError(
+        f"per-tensor qtype must be 'int8' or 'fp8', got {qtype!r}")
+
+
+def _pair_qtypes(qtype: str) -> Tuple[str, str]:
+    """Resolve a pair-level qtype to (k_qtype, v_qtype)."""
+    if qtype not in _SUPPORTED:
+        raise ValueError(f"qtype must be one of {_SUPPORTED}, got {qtype!r}")
+    return ("int8", "fp8") if qtype == "mixed" else (qtype, qtype)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -126,12 +141,9 @@ def quantize_kv(k: jnp.ndarray, v: jnp.ndarray,
     tests/test_quant.py). Direct int8 quantisation of K is strictly
     more accurate than the in-kernel fp8→int8 re-grid the prefill
     kernel applies to fp8 K under quantize_q."""
-    if qtype == "mixed":
-        k_q, k_scale = quantize_tensor(k, "int8")
-        v_q, v_scale = quantize_tensor(v, "fp8")
-        return QuantizedKV(k_q, k_scale, v_q, v_scale)
-    k_q, k_scale = quantize_tensor(k, qtype)
-    v_q, v_scale = quantize_tensor(v, qtype)
+    kt, vt = _pair_qtypes(qtype)
+    k_q, k_scale = quantize_tensor(k, kt)
+    v_q, v_scale = quantize_tensor(v, vt)
     return QuantizedKV(k_q, k_scale, v_q, v_scale)
 
 

@@ -351,7 +351,7 @@ def ring_decode_local(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_k: int = 8192,
+    block_k: Optional[int] = None,
     window: int = 0,
     windows: Optional[jnp.ndarray] = None,
     interpret: Optional[bool] = None,
@@ -388,7 +388,7 @@ def ring_decode(
     k_scale: Optional[jnp.ndarray] = None,
     v_scale: Optional[jnp.ndarray] = None,
     scale: Optional[float] = None,
-    block_k: int = 8192,
+    block_k: Optional[int] = None,
     window: int = 0,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:

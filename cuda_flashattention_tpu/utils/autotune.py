@@ -235,8 +235,12 @@ def autotune_decode_block_k(
         k, v = kvq.k_q, kvq.v_q
         kw = dict(k_scale=kvq.k_scale, v_scale=kvq.v_scale)
 
-    top = min(round_up(ctx, 128), 16384)
-    cands = [bk for bk in (2048, 4096, 8192, 16384) if bk <= top] or [top]
+    # 32768 is the known-best point for fp8-ish caches at >=65k ctx (the
+    # decode_attention adaptive default) — the candidate set must reach it
+    # or tuning would override the default DOWNWARD.
+    top = min(round_up(ctx, 128), 32768)
+    cands = [bk for bk in (2048, 4096, 8192, 16384, 32768)
+             if bk <= top] or [top]
     best_bk, best_t = cands[0], float("inf")
     for bk in cands:
         def step(x, k, v, bk=bk):
@@ -294,8 +298,10 @@ def autotune_page_size(
                                 jnp.bfloat16, -0.5, 0.5)
         kw = {}
         if qtype:
-            kp, ks = quantize_tensor(kp, qtype)
-            vp, vs = quantize_tensor(vp, qtype)
+            from cuda_flashattention_tpu.ops.quant import _pair_qtypes
+            kt, vt = _pair_qtypes(qtype)  # "mixed": int8 K / fp8 V
+            kp, ks = quantize_tensor(kp, kt)
+            vp, vs = quantize_tensor(vp, vt)
             kw = dict(k_scale=ks, v_scale=vs)
         table = jnp.arange(n_pool, dtype=jnp.int32).reshape(
             batch, pages_per_seq)

@@ -255,3 +255,53 @@ def test_cache_append_overflow_checkify():
     err, out = checked(cache, k2)
     err.throw()
     assert int(out.length) == 6
+
+
+def test_default_block_k_resolution():
+    """The block_k=None adaptive default (review r3): 32k wide blocks
+    ONLY for fp8-ish caches on the bf16 shift-cast path at long
+    un-windowed context — fp32-q fp8 would OOM VMEM at 32k, and windowed
+    grids would stream ~4x the bytes per step."""
+    from cuda_flashattention_tpu.ops.decode import default_decode_block_k
+
+    f8, i8, bf, f32 = (jnp.float8_e4m3fn, jnp.int8, jnp.bfloat16,
+                       jnp.float32)
+    # the 1M fp8/bf16-q serving point gets the wide block; mixed too (V fp8)
+    assert default_decode_block_k(f8, f8, bf, False, 0, False, 1 << 20) == 32768
+    assert default_decode_block_k(i8, f8, bf, True, 0, False, 1 << 20) == 32768
+    # fp32 q (slow fp32-dequant path): VMEM-unsafe at 32k -> 8192
+    assert default_decode_block_k(f8, f8, f32, False, 0, False, 1 << 20) == 8192
+    # quantize_q forces bf16 compute even for fp32 q
+    assert default_decode_block_k(i8, f8, f32, True, 0, False, 1 << 20) == 32768
+    # windowed serving (static or per-seq) keeps the narrow block
+    assert default_decode_block_k(f8, f8, bf, False, 4096, False, 1 << 20) == 8192
+    assert default_decode_block_k(f8, f8, bf, False, 0, True, 1 << 20) == 8192
+    # short context / non-fp8 caches: narrow
+    assert default_decode_block_k(f8, f8, bf, False, 0, False, 16384) == 8192
+    assert default_decode_block_k(i8, i8, bf, True, 0, False, 1 << 20) == 8192
+    assert default_decode_block_k(bf, bf, bf, False, 0, False, 1 << 20) == 8192
+
+
+def test_wide_block_default_end_to_end():
+    """bf16-q fp8 decode at max_n >= 65536 resolves block_k=None to
+    32768 — run that configuration end-to-end (interpret) so the wide
+    block's grid/padding/scale-layout logic is exercised, not just the
+    resolver."""
+    rng = np.random.default_rng(11)
+    b, hkv, h, max_n, d = 1, 1, 4, 65536, 64
+    live = 300
+    kf = np.zeros((b, hkv, max_n, d), np.float32)
+    vf = np.zeros((b, hkv, max_n, d), np.float32)
+    kf[:, :, :live] = rng.uniform(-1, 1, (b, hkv, live, d))
+    vf[:, :, :live] = rng.uniform(-1, 1, (b, hkv, live, d))
+    kv = quantize_kv(jnp.asarray(kf), jnp.asarray(vf), "fp8")
+    q = jnp.asarray(rng.uniform(-1, 1, (b, h, d)), jnp.bfloat16)
+    lengths = jnp.full((b,), live, jnp.int32)
+    o, _ = decode_attention(q, kv.k_q, kv.v_q, lengths,
+                            k_scale=kv.k_scale, v_scale=kv.v_scale)
+    kd, vd = kv.dequantize()
+    o_ref, _ = naive_attention(
+        jnp.repeat(q[:, :, None].astype(jnp.float32), 1, 1),
+        jnp.repeat(kd[:, :, :live], h // hkv, 1),
+        jnp.repeat(vd[:, :, :live], h // hkv, 1))
+    assert_close(o, o_ref[:, :, 0], 2e-2, name="wide-block fp8 decode")

@@ -191,3 +191,22 @@ def test_quantize_q_fp8_requires_bf16_compute():
     o, _ = flash_attention_quantized(q, kv, quantize_q=True)
     o_ref, _ = naive_attention(q, kd, vd)
     assert_close(o, o_ref, 1e-2, "fp8 quantize_q fp32-Q fallback")
+
+
+def test_mixed_is_pair_level_only():
+    """"mixed" is a K/V-PAIR qtype: the per-tensor API must reject it
+    with an error that does not claim it is per-tensor-supported (review
+    r3: the old message said "must be one of (... 'mixed')" while
+    raising on 'mixed')."""
+    from cuda_flashattention_tpu.ops.quant import _storage_dtype
+
+    x = jnp.ones((2, 4, 8))
+    with pytest.raises(ValueError, match="per-tensor"):
+        quantize_tensor(x, "mixed")
+    with pytest.raises(ValueError, match="per-tensor"):
+        _storage_dtype("mixed")
+    # pair level: fine
+    kv = quantize_kv(x, x, "mixed")
+    assert kv.k_q.dtype == jnp.int8
+    assert kv.v_q.dtype == jnp.float8_e4m3fn
+    assert kv.qtype == "mixed"

@@ -189,16 +189,21 @@ def test_ring_decode_window(window):
 
 
 @needs_multi
-def test_ring_decode_quantized():
+@pytest.mark.parametrize("qtype,tol", [("int8", 5e-3), ("fp8", 2e-2),
+                                       ("mixed", 2e-2)])
+def test_ring_decode_quantized(qtype, tol):
+    """All three cache quantisations through the SHARDED decode path
+    ("mixed" = int8 K / fp8 V, the fp8-serving config)."""
     mesh = _mesh_n(4)
     _, k, v = random_qkv(1, 2, 0, 512, 32)
     q = jnp.asarray(seeded_random((1, 2, 32), 6))
-    kv = quantize_kv(k, v, "int8")
+    kv = quantize_kv(k, v, qtype)
     o, _ = ring_decode(q, kv.k_q, kv.v_q, 400, mesh,
                        k_scale=kv.k_scale, v_scale=kv.v_scale)
-    o_ref, _ = naive_attention(q[:, :, None, :], k[:, :, :400],
-                               v[:, :, :400])
-    assert_close(o, o_ref[:, :, 0], 5e-3, "ring decode int8 O")
+    kd, vd = kv.dequantize()
+    o_ref, _ = naive_attention(q[:, :, None, :], kd[:, :, :400],
+                               vd[:, :, :400])
+    assert_close(o, o_ref[:, :, 0], tol, f"ring decode {qtype} O")
 
 
 def test_ring_gqa():
