@@ -22,11 +22,17 @@ is restructured for TPU instead of emulating CUDA atomics:
 
 D is computed outside the kernels as one fused XLA elementwise+reduce
 (the reference dedicates a kernel prologue to it, ref: :94-120).
+
+When the full-sequence gradient state fits VMEM (the common training
+shapes), both kernels are replaced by ONE fused kernel that visits each
+visible tile pair once — S and dP are computed once instead of twice,
+cutting the backward matmul count from 7 to 5 (see _bwd_fused_kernel).
 """
 
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -243,10 +249,170 @@ def _bwd_dq_kernel(
         dq_ref[0, 0] = dq_acc[...].astype(dq_ref.dtype)
 
 
+def _bwd_fused_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, od_ref,
+    *refs,
+    scale: float,
+    causal: bool,
+    kv_offset: int,
+    nq_valid: int,
+    nk_valid: int,
+    block_q: int,
+    block_k: int,
+    window: int,
+    segmented: bool,
+    fuse_delta: bool = False,
+):
+    """Fused single-pass backward: dQ, dK AND dV from ONE visit per
+    visible (Q, KV) tile pair — S and dP are computed once (5 matmuls
+    per pair: S, dP, dV+=PᵀdO, dK+=dSᵀQ, dQ+=dS·K) instead of twice
+    across the split kernels (7).  The reference pays the same 5 inside
+    one CUDA block because atomics let every product land in shared
+    memory (ref: backward_kernel.cu:153-245); here the split design's
+    extra S/dP recompute is bought back with full-sequence fp32 VMEM
+    accumulators instead — the K-major forward's trick
+    (flash_fwd._fwd_kernel_kmajor).
+
+    Grid: (batch, kv head, group, kv block, q block) — iq innermost, so
+    K/V stay resident per ik run while Q/dO/LSE/D stream (streamed
+    blocks pipeline; it's resident-block swaps that stall, MEMO #16).
+    dK/dV accumulate across (ig, iq) per KV head, dQ across ik per
+    query head.  Every output slice is written exactly once, on the grid
+    step where its last contribution lands; out-block buffers flushed on
+    earlier passes carry garbage that the final pass overwrites (same
+    revisit pattern as the K-major forward's O blocks).
+
+    `fuse_delta` (VERDICT r2 #8): od_ref is the forward's O block and
+    D = rowsum(dO ⊙ O) is computed in-kernel on the first KV pass
+    (ref dedicates a kernel prologue to the same, backward_kernel.cu:
+    94-120) — the host's separate XLA reduce over dO/O and its HBM
+    round-trip disappear.  Requires window == 0: the first KV pass must
+    visit every Q block unclamped (with a window, late Q blocks are
+    invisible at ik == 0 and their O/dO fetch is redirected).  Without
+    it, od_ref is the precomputed (Bq, 1) D block.
+    """
+    if segmented:
+        (qseg_ref, kseg_ref, *refs) = refs
+    else:
+        qseg_ref = kseg_ref = None
+    if fuse_delta:
+        (dq_ref, dk_ref, dv_ref,
+         dq_state, dk_state, dv_state, delta_state) = refs
+    else:
+        (dq_ref, dk_ref, dv_ref, dq_state, dk_state, dv_state) = refs
+        delta_state = None
+    ig = pl.program_id(2)
+    ik = pl.program_id(3)
+    iq = pl.program_id(4)
+    ngroup = pl.num_programs(2)
+    nk_blocks = pl.num_programs(3)
+    nq_blocks = pl.num_programs(4)
+
+    sweep_start = jnp.logical_and(ik == 0, iq == 0)
+
+    @pl.when(sweep_start)
+    def _init_dq():  # per query head (= per ig)
+        dq_state[...] = jnp.zeros_like(dq_state)
+
+    @pl.when(jnp.logical_and(ig == 0, sweep_start))
+    def _init_dkdv():  # per (batch, kv head) cell
+        dk_state[...] = jnp.zeros_like(dk_state)
+        dv_state[...] = jnp.zeros_like(dv_state)
+
+    if fuse_delta:
+        # D for this Q block, once, on the first KV pass (every iq is
+        # visited unclamped at ik == 0 when window == 0 — host gate).
+        @pl.when(ik == 0)
+        def _delta():
+            delta_state[pl.dslice(iq * block_q, block_q), :] = jnp.sum(
+                do_ref[0, 0].astype(jnp.float32)
+                * od_ref[0, 0].astype(jnp.float32), axis=-1, keepdims=True)
+
+    q_last = (iq + 1) * block_q - 1 + kv_offset
+    block_visible = jnp.logical_or(not causal, ik * block_k <= q_last)
+    if window:
+        q_first = iq * block_q + kv_offset
+        block_visible = jnp.logical_and(
+            block_visible,
+            ik * block_k + (block_k - 1) >= q_first - window + 1)
+
+    @pl.when(block_visible)
+    def _compute():
+        q = q_ref[0, 0]        # (Bq, d)
+        k = k_ref[0, 0]        # (Bk, d)
+        v = v_ref[0, 0]        # (Bk, d)
+        do = do_ref[0, 0]      # (Bq, d)
+        lse = lse_ref[0, 0]      # (Bq, 1)
+        qrows = pl.dslice(iq * block_q, block_q)
+        krows = pl.dslice(ik * block_k, block_k)
+        delta = (delta_state[qrows, :] if fuse_delta
+                 else od_ref[0, 0])  # (Bq, 1)
+
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * (scale * _LOG2E)  # (Bq, Bk), log2 units
+        s = _mask_scores(s, iq, ik, causal=causal, kv_offset=kv_offset,
+                         nk_valid=nk_valid, block_q=block_q,
+                         block_k=block_k, window=window,
+                         qseg=None if not segmented else qseg_ref[0],
+                         kseg=None if not segmented else kseg_ref[0])
+
+        p = _p_from_lse(s, lse)  # (Bq, Bk) fp32
+        pc = p.astype(do.dtype)
+        # dV += Pᵀ · dO (ref: backward_kernel.cu:207-214)
+        dv_state[krows, :] += jax.lax.dot_general(
+            pc, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dP = dO · Vᵀ (ref: :176-187) — computed ONCE, shared by dK/dQ
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dS = P ⊙ (dP − D) · scale (ref: :189-193)
+        ds = (p * (dp - delta) * scale).astype(q.dtype)
+        # dK += dSᵀ · Q (ref: :215-221)
+        dk_state[krows, :] += jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        # dQ += dS · K (ref: :195-205)
+        dq_state[qrows, :] += jax.lax.dot_general(
+            ds, k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    # dQ block iq is final after the last KV pass touches it; the write
+    # runs regardless of visibility (an all-invisible row's state is the
+    # zeros _init_dq left there).
+    @pl.when(ik == nk_blocks - 1)
+    def _write_dq():
+        dq_ref[0, 0] = dq_state[
+            pl.dslice(iq * block_q, block_q), :].astype(dq_ref.dtype)
+
+    # dK/dV block ik is final once the last group member's last Q pass
+    # has contributed.
+    @pl.when(jnp.logical_and(ig == ngroup - 1, iq == nq_blocks - 1))
+    def _write_dkdv():
+        rows = pl.dslice(ik * block_k, block_k)
+        dk_ref[0, 0] = dk_state[rows, :].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_state[rows, :].astype(dv_ref.dtype)
+
+
+# The fused kernel needs (nq + 2·nk)·d fp32 of gradient state resident
+# in VMEM; beyond this budget the host falls back to the two-kernel
+# split. Env-overridable for budget experiments; CFA_BWD_FUSED=0/1
+# forces the path outright.
+_BWD_FUSED_BUDGET = int(os.environ.get(
+    "CFA_BWD_FUSED_BUDGET", 40 * 1024 * 1024))
+_BWD_FUSED_MODE = os.environ.get("CFA_BWD_FUSED", "auto")
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "causal", "window", "kv_offset",
-                     "block_sizes", "interpret"),
+                     "block_sizes", "interpret", "fused"),
 )
 def flash_attention_backward(
     q: jnp.ndarray,
@@ -263,6 +429,7 @@ def flash_attention_backward(
     interpret: Optional[bool] = None,
     q_segment_ids: Optional[jnp.ndarray] = None,
     kv_segment_ids: Optional[jnp.ndarray] = None,
+    fused: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """FA2 backward. q/o/do are [B,H,N,d], k/v are [B,Hkv,N,d] (GQA when
     Hkv < H: the dKdV grid carries a group axis that accumulates every
@@ -271,6 +438,11 @@ def flash_attention_backward(
     Host-side counterpart of `flash_attention_2_backward`
     (ref: backward_kernel.cu:249-299). Returns (dQ [B,H,N,d],
     dK/dV [B,Hkv,N,d]) in the input dtypes.
+
+    `fused`: None (default) picks the single-pass fused kernel (5
+    matmuls per tile pair instead of the split kernels' 7) whenever the
+    full-sequence gradient state fits the VMEM budget, overridable via
+    CFA_BWD_FUSED / CFA_BWD_FUSED_BUDGET; True/False force the path.
     """
     b, h, nq, d = q.shape
     h_kv, nk = k.shape[1], k.shape[2]
@@ -284,16 +456,12 @@ def flash_attention_backward(
           else auto_block_sizes(nq, nk, d, causal=causal))
     block_q, block_k = bs.block_q_bwd, bs.block_k_bwd
 
-    # D = rowsum(dO ⊙ O): one fused XLA op (ref kernel prologue :94-120).
-    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32), axis=-1,
-                    keepdims=True)  # [B,H,Nq,1]
     lse = lse[..., None]  # [B,H,Nq,1] — trailing unit dim for TPU tiling
 
     q_p = pad_to_block(q, 2, block_q)
     do_p = pad_to_block(do, 2, block_q)
     # Padded LSE rows get NEG_INF ⇒ P == 0 ⇒ they contribute nothing.
     lse_p = pad_to_block(lse, 2, block_q, value=NEG_INF)
-    delta_p = pad_to_block(delta, 2, block_q)
     k_p = pad_to_block(k, 2, block_k)
     v_p = pad_to_block(v, 2, block_k)
     nq_p, nk_p = q_p.shape[2], k_p.shape[2]
@@ -350,6 +518,77 @@ def flash_attention_backward(
             return ik
 
     g = group
+    if fused is None:
+        if _BWD_FUSED_MODE == "auto":
+            fused = (nq_p + 2 * nk_p) * d * 4 <= _BWD_FUSED_BUDGET
+        else:
+            fused = bool(int(_BWD_FUSED_MODE))
+    fuse_delta = bool(fused) and window == 0
+    if fuse_delta:
+        od_p = pad_to_block(o, 2, block_q)  # O streams in; D in-kernel
+    else:
+        # D = rowsum(dO ⊙ O): one fused XLA op (ref kernel prologue
+        # :94-120).
+        delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                        axis=-1, keepdims=True)  # [B,H,Nq,1]
+        od_p = pad_to_block(delta, 2, block_q)
+    if fused:
+        fq_spec = pl.BlockSpec(
+            (1, 1, block_q, d),
+            lambda bb, hh, ig, ikv, iq: (bb, hh * g + ig, q_idx(ikv, iq), 0))
+        fkv_spec = pl.BlockSpec(
+            (1, 1, block_k, d),
+            lambda bb, hh, ig, ikv, iq: (bb, hh, ikv, 0))
+        frow_spec = pl.BlockSpec(
+            (1, 1, block_q, 1),
+            lambda bb, hh, ig, ikv, iq: (bb, hh * g + ig, q_idx(ikv, iq), 0))
+        fseg_specs = [
+            pl.BlockSpec((1, block_q, 1),
+                         lambda bb, hh, ig, ikv, iq: (bb, q_idx(ikv, iq), 0)),
+            pl.BlockSpec((1, block_k, 1),
+                         lambda bb, hh, ig, ikv, iq: (bb, ikv, 0)),
+        ] if segmented else []
+        dq, dk, dv = pl.pallas_call(
+            functools.partial(_bwd_fused_kernel, fuse_delta=fuse_delta,
+                              **common),
+            grid=(b, h_kv, group, nk_p // block_k, nq_p // block_q),
+            in_specs=[fq_spec, fkv_spec, fkv_spec, fq_spec, frow_spec,
+                      fq_spec if fuse_delta else frow_spec, *fseg_specs],
+            out_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, d),
+                    lambda bb, hh, ig, ikv, iq: (bb, hh * g + ig, iq, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bb, hh, ig, ikv, iq: (bb, hh, ikv, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda bb, hh, ig, ikv, iq: (bb, hh, ikv, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((b, h, nq_p, d), q.dtype),
+                jax.ShapeDtypeStruct((b, h_kv, nk_p, d), k.dtype),
+                jax.ShapeDtypeStruct((b, h_kv, nk_p, d), v.dtype),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((nq_p, d), jnp.float32),
+                pltpu.VMEM((nk_p, d), jnp.float32),
+                pltpu.VMEM((nk_p, d), jnp.float32),
+            ] + ([pltpu.VMEM((nq_p, 1), jnp.float32)] if fuse_delta
+                 else []),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel", "arbitrary",
+                                     "arbitrary", "arbitrary"),
+                vmem_limit_bytes=110 * 1024 * 1024,
+            ),
+            cost_estimate=pl.CostEstimate(
+                # 5 matmuls per tile pair, each 2·Bq·Bk·d flops
+                flops=10 * b * h * nq_p * nk_p * d,
+                bytes_accessed=(3 * q_p.size + 2 * k_p.size + 2 * v_p.size)
+                * q_p.dtype.itemsize,
+                transcendentals=b * h * nq_p * nk_p,
+            ),
+            interpret=interpret,
+        )(q_p, k_p, v_p, do_p, lse_p, od_p, *seg_inputs)
+        return dq[:, :, :nq], dk[:, :, :nk], dv[:, :, :nk]
     q_spec = pl.BlockSpec(
         (1, 1, block_q, d),
         lambda bb, hh, i, j, ig: (bb, hh * g + ig, q_idx(i, j), 0))
@@ -397,7 +636,7 @@ def flash_attention_backward(
             transcendentals=b * h * nq_p * nk_p,
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p, do_p, lse_p, delta_p, *seg_inputs)
+    )(q_p, k_p, v_p, do_p, lse_p, od_p, *seg_inputs)
 
     dq_q_spec = pl.BlockSpec((1, 1, block_q, d),
                              lambda bb, hh, i, j: (bb, hh, i, 0))
@@ -435,6 +674,6 @@ def flash_attention_backward(
             transcendentals=b * h * nq_p * nk_p,
         ),
         interpret=interpret,
-    )(q_p, k_p, v_p, do_p, lse_p, delta_p, *seg_inputs)
+    )(q_p, k_p, v_p, do_p, lse_p, od_p, *seg_inputs)
 
     return dq[:, :, :nq], dk[:, :, :nk], dv[:, :, :nk]

@@ -27,14 +27,14 @@ from cuda_flashattention_tpu.utils.testing import (
 
 
 def _check_grads(q, k, v, tol, causal=False, kv_offset=0, scale=None,
-                 block_sizes=None):
+                 block_sizes=None, fused=None):
     do = jnp.asarray(seeded_random(q.shape, 99))
     o, lse = flash_attention_forward(
         q, k, v, scale=scale, causal=causal, kv_offset=kv_offset,
         block_sizes=block_sizes)
     dq, dk, dv = flash_attention_backward(
         q, k, v, o, lse, do, scale=scale, causal=causal,
-        kv_offset=kv_offset, block_sizes=block_sizes)
+        kv_offset=kv_offset, block_sizes=block_sizes, fused=fused)
     dq_r, dk_r, dv_r = naive_attention_backward(
         q, k, v, do, scale=scale, causal=causal, kv_offset=kv_offset)
     assert_close(dq, dq_r, tol, "dQ")
@@ -54,32 +54,77 @@ def test_complex_128x64():
     _check_grads(q, k, v, tol=5e-3)
 
 
-def test_multihead():
+@pytest.mark.parametrize("fused", [False, True])
+def test_multihead(fused):
     q, k, v = random_qkv(2, 3, 192, 256, 64)
-    _check_grads(q, k, v, tol=5e-3)
+    _check_grads(q, k, v, tol=5e-3, fused=fused)
 
 
-def test_causal():
+@pytest.mark.parametrize("fused", [False, True])
+def test_causal(fused):
     q, k, v = random_qkv(1, 2, 160, 160, 64)
-    _check_grads(q, k, v, tol=5e-3, causal=True)
+    _check_grads(q, k, v, tol=5e-3, causal=True, fused=fused)
 
 
-def test_causal_kv_offset():
+@pytest.mark.parametrize("fused", [False, True])
+def test_causal_kv_offset(fused):
     q, k, v = random_qkv(1, 1, 64, 192, 32)
-    _check_grads(q, k, v, tol=5e-3, causal=True, kv_offset=128)
+    _check_grads(q, k, v, tol=5e-3, causal=True, kv_offset=128,
+                 fused=fused)
 
 
 @pytest.mark.parametrize("nq,nk", [(100, 72), (65, 130)])
-def test_non_divisible(nq, nk):
+@pytest.mark.parametrize("fused", [False, True])
+def test_non_divisible(nq, nk, fused):
     q, k, v = random_qkv(1, 1, nq, nk, 32)
-    _check_grads(q, k, v, tol=5e-3)
+    _check_grads(q, k, v, tol=5e-3, fused=fused)
 
 
 @pytest.mark.parametrize("bq,bk", [(8, 8), (32, 64)])
-def test_block_sweep(bq, bk):
+@pytest.mark.parametrize("fused", [False, True])
+def test_block_sweep(bq, bk, fused):
     q, k, v = random_qkv(1, 1, 96, 96, 32)
-    _check_grads(q, k, v, tol=5e-3,
+    _check_grads(q, k, v, tol=5e-3, fused=fused,
                  block_sizes=BlockSizes(block_q_bwd=bq, block_k_bwd=bk))
+
+
+def test_fused_matches_split():
+    """The fused single-pass kernel and the two-kernel split must agree
+    bit-for-bit-close on the same inputs across every masking feature
+    (causal, window, kv_offset, GQA) — they share the math, only the
+    accumulation schedule differs."""
+    import functools as ft
+
+    q, _, _ = random_qkv(2, 4, 200, 200, 32)
+    _, k, v = random_qkv(2, 2, 200, 200, 32, seed=5)
+    do = jnp.asarray(seeded_random(q.shape, 99))
+    for kw in (dict(), dict(causal=True), dict(causal=True, window=64),
+               dict(causal=True, kv_offset=64)):
+        nk_ = k.shape[2] + kw.get("kv_offset", 0)
+        o, lse = flash_attention_forward(q, k, v, **kw)
+        run = ft.partial(flash_attention_backward, q, k, v, o, lse, do,
+                         **kw)
+        split = run(fused=False)
+        fus = run(fused=True)
+        for a, b_, name in zip(fus, split, ("dQ", "dK", "dV")):
+            assert_close(a, b_, 2e-5, f"fused-vs-split {name} {kw}")
+
+
+def test_fused_segments_match_split():
+    from cuda_flashattention_tpu.ops.naive import naive_attention  # noqa: F401
+
+    q, k, v = random_qkv(1, 2, 96, 96, 32)
+    qseg = jnp.asarray(
+        np.repeat(np.arange(3), 32)[None, :], jnp.int32)
+    o, lse = flash_attention_forward(
+        q, k, v, q_segment_ids=qseg, kv_segment_ids=qseg)
+    do = jnp.asarray(seeded_random(q.shape, 7))
+    args = (q, k, v, o, lse, do)
+    kw = dict(q_segment_ids=qseg, kv_segment_ids=qseg)
+    split = flash_attention_backward(*args, fused=False, **kw)
+    fus = flash_attention_backward(*args, fused=True, **kw)
+    for a, b_, name in zip(fus, split, ("dQ", "dK", "dV")):
+        assert_close(a, b_, 2e-5, f"fused-vs-split segmented {name}")
 
 
 def test_jax_grad_end_to_end():
