@@ -90,6 +90,30 @@ def _p_from_lse(s2: jnp.ndarray, lse_block: jnp.ndarray) -> jnp.ndarray:
     return jnp.exp2(s2 - lse_safe)  # lse is (Bq, 1); broadcasts over Bk
 
 
+def _recompute_p_ds(q, k, v, do, lse, delta, iq, ik, *, scale, causal,
+                    kv_offset, nk_valid, block_q, block_k, window,
+                    qseg, kseg):
+    """The shared S-recompute pipeline of all three backward kernels:
+    S = QKᵀ·scale (log2 units) → mask → P = exp(S − LSE) →
+    dP = dO·Vᵀ → dS = P ⊙ (dP − D)·scale (ref: backward_kernel.cu:
+    153-193). Returns (p, ds), both fp32 — callers cast per matmul."""
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * (scale * _LOG2E)  # (Bq, Bk), log2 units
+    s = _mask_scores(s, iq, ik, causal=causal, kv_offset=kv_offset,
+                     nk_valid=nk_valid, block_q=block_q,
+                     block_k=block_k, window=window, qseg=qseg, kseg=kseg)
+    p = _p_from_lse(s, lse)  # (Bq, Bk) fp32
+    # dP = dO · Vᵀ (ref: :176-187)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dS = P ⊙ (dP − D) · scale (ref: :189-193)
+    return p, p * (dp - delta) * scale
+
+
 def _bwd_dkdv_kernel(
     q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
     *refs,
@@ -142,30 +166,18 @@ def _bwd_dkdv_kernel(
         lse = lse_ref[0, 0]      # (Bq, 1)
         delta = delta_ref[0, 0]  # (Bq, 1)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (scale * _LOG2E)  # (Bq, Bk), log2 units
-        s = _mask_scores(s, iq, ikv, causal=causal, kv_offset=kv_offset,
-                         nk_valid=nk_valid, block_q=block_q,
-                         block_k=block_k, window=window,
-                         qseg=None if not segmented else qseg_ref[0],
-                         kseg=None if not segmented else kseg_ref[0])
-
-        p = _p_from_lse(s, lse)  # (Bq, Bk) fp32
+        p, ds = _recompute_p_ds(
+            q, k, v, do, lse, delta, iq, ikv, scale=scale, causal=causal,
+            kv_offset=kv_offset, nk_valid=nk_valid, block_q=block_q,
+            block_k=block_k, window=window,
+            qseg=None if not segmented else qseg_ref[0],
+            kseg=None if not segmented else kseg_ref[0])
 
         # dV += Pᵀ · dO (ref: backward_kernel.cu:207-214, minus the atomics)
         dv_acc[...] += jax.lax.dot_general(
             p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # dP = dO · Vᵀ (ref: :176-187)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dS = P ⊙ (dP − D) · scale (ref: :189-193)
-        ds = p * (dp - delta) * scale
         # dK += dSᵀ · Q (ref: :215-221, minus the atomics)
         dk_acc[...] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -221,22 +233,12 @@ def _bwd_dq_kernel(
         lse = lse_ref[0, 0]      # (Bq, 1)
         delta = delta_ref[0, 0]  # (Bq, 1)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (scale * _LOG2E)  # log2 units
-        s = _mask_scores(s, iq, ik, causal=causal, kv_offset=kv_offset,
-                         nk_valid=nk_valid, block_q=block_q,
-                         block_k=block_k, window=window,
-                         qseg=None if not segmented else qseg_ref[0],
-                         kseg=None if not segmented else kseg_ref[0])
-
-        p = _p_from_lse(s, lse)
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        ds = p * (dp - delta) * scale
+        _, ds = _recompute_p_ds(
+            q, k, v, do, lse, delta, iq, ik, scale=scale, causal=causal,
+            kv_offset=kv_offset, nk_valid=nk_valid, block_q=block_q,
+            block_k=block_k, window=window,
+            qseg=None if not segmented else qseg_ref[0],
+            kseg=None if not segmented else kseg_ref[0])
         # dQ += dS · K · scale (scale already folded into ds;
         # ref: backward_kernel.cu:195-205)
         dq_acc[...] += jax.lax.dot_general(
@@ -348,38 +350,30 @@ def _bwd_fused_kernel(
         delta = (delta_state[qrows, :] if fuse_delta
                  else od_ref[0, 0])  # (Bq, 1)
 
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * (scale * _LOG2E)  # (Bq, Bk), log2 units
-        s = _mask_scores(s, iq, ik, causal=causal, kv_offset=kv_offset,
-                         nk_valid=nk_valid, block_q=block_q,
-                         block_k=block_k, window=window,
-                         qseg=None if not segmented else qseg_ref[0],
-                         kseg=None if not segmented else kseg_ref[0])
+        p, ds = _recompute_p_ds(
+            q, k, v, do, lse, delta, iq, ik, scale=scale, causal=causal,
+            kv_offset=kv_offset, nk_valid=nk_valid, block_q=block_q,
+            block_k=block_k, window=window,
+            qseg=None if not segmented else qseg_ref[0],
+            kseg=None if not segmented else kseg_ref[0])
 
-        p = _p_from_lse(s, lse)  # (Bq, Bk) fp32
-        pc = p.astype(do.dtype)
         # dV += Pᵀ · dO (ref: backward_kernel.cu:207-214)
         dv_state[krows, :] += jax.lax.dot_general(
-            pc, do, (((0,), (0,)), ((), ())),
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        # dP = dO · Vᵀ (ref: :176-187) — computed ONCE, shared by dK/dQ
-        dp = jax.lax.dot_general(
-            do, v, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        # dS = P ⊙ (dP − D) · scale (ref: :189-193)
-        ds = (p * (dp - delta) * scale).astype(q.dtype)
-        # dK += dSᵀ · Q (ref: :215-221)
+        # dK += dSᵀ · Q (ref: :215-221) — ds cast matches the split
+        # dKdV kernel (q.dtype); dQ's matches the split dQ kernel
+        # (k.dtype). They're the same dtype in practice and Mosaic CSEs
+        # the casts, but keeping them per-matmul means fused=True/False
+        # stay bit-identical even if q/k dtypes ever diverge.
         dk_state[krows, :] += jax.lax.dot_general(
-            ds, q, (((0,), (0,)), ((), ())),
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         # dQ += dS · K (ref: :195-205)
         dq_state[qrows, :] += jax.lax.dot_general(
-            ds, k, (((1,), (0,)), ((), ())),
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
 
@@ -406,7 +400,22 @@ def _bwd_fused_kernel(
 # forces the path outright.
 _BWD_FUSED_BUDGET = int(os.environ.get(
     "CFA_BWD_FUSED_BUDGET", 40 * 1024 * 1024))
-_BWD_FUSED_MODE = os.environ.get("CFA_BWD_FUSED", "auto")
+
+
+def _parse_fused_mode(raw: str) -> str:
+    """Tolerant CFA_BWD_FUSED parse, failing loudly AT IMPORT (not deep
+    inside a jit trace) for unrecognised values."""
+    v = raw.strip().lower()
+    if v in ("", "auto"):
+        return "auto"
+    if v in ("1", "true", "on", "yes"):
+        return "1"
+    if v in ("0", "false", "off", "no"):
+        return "0"
+    raise ValueError(f"CFA_BWD_FUSED must be auto/0/1, got {raw!r}")
+
+
+_BWD_FUSED_MODE = _parse_fused_mode(os.environ.get("CFA_BWD_FUSED", "auto"))
 
 
 @functools.partial(
@@ -548,12 +557,20 @@ def flash_attention_backward(
             pl.BlockSpec((1, block_k, 1),
                          lambda bb, hh, ig, ikv, iq: (bb, ikv, 0)),
         ] if segmented else []
+        # fuse_delta only reads the O block on the first KV pass — pin
+        # the fetch index to block 0 on later passes so the same-index
+        # pipeline elision drops the (otherwise nk_blocks×) re-fetch of
+        # the whole O tensor per head.
+        fod_spec = pl.BlockSpec(
+            (1, 1, block_q, d),
+            lambda bb, hh, ig, ikv, iq: (
+                bb, hh * g + ig, jnp.where(ikv == 0, iq, 0), 0))
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, fuse_delta=fuse_delta,
                               **common),
             grid=(b, h_kv, group, nk_p // block_k, nq_p // block_q),
             in_specs=[fq_spec, fkv_spec, fkv_spec, fq_spec, frow_spec,
-                      fq_spec if fuse_delta else frow_spec, *fseg_specs],
+                      fod_spec if fuse_delta else frow_spec, *fseg_specs],
             out_specs=[
                 pl.BlockSpec(
                     (1, 1, block_q, d),

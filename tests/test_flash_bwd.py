@@ -100,7 +100,6 @@ def test_fused_matches_split():
     do = jnp.asarray(seeded_random(q.shape, 99))
     for kw in (dict(), dict(causal=True), dict(causal=True, window=64),
                dict(causal=True, kv_offset=64)):
-        nk_ = k.shape[2] + kw.get("kv_offset", 0)
         o, lse = flash_attention_forward(q, k, v, **kw)
         run = ft.partial(flash_attention_backward, q, k, v, o, lse, do,
                          **kw)
@@ -111,8 +110,6 @@ def test_fused_matches_split():
 
 
 def test_fused_segments_match_split():
-    from cuda_flashattention_tpu.ops.naive import naive_attention  # noqa: F401
-
     q, k, v = random_qkv(1, 2, 96, 96, 32)
     qseg = jnp.asarray(
         np.repeat(np.arange(3), 32)[None, :], jnp.int32)
