@@ -36,8 +36,10 @@ import jax.numpy as jnp
 
 from cuda_flashattention_tpu.ops.common import (
     BlockSizes,
+    auto_block_sizes,
     round_up,
 )
+from cuda_flashattention_tpu.utils.log import get_logger
 from cuda_flashattention_tpu.utils.timing import time_scanned
 
 from cuda_flashattention_tpu import config as _config
@@ -165,28 +167,57 @@ def autotune_block_sizes(
     v = jax.random.uniform(keys[2], (batch, heads, nk, d), dtype, -0.5, 0.5)
 
     best_bs, best_t = None, float("inf")
+    failures = []
     base = BlockSizes()
     for bq, bk in cands:
-        if mode == "bwd":
-            bs = BlockSizes(block_q=base.block_q, block_k=base.block_k,
-                            block_q_bwd=bq, block_k_bwd=bk).clamp(nq, nk)
-            t = _bench_bwd(bs, q, k, v, causal, iters, window=window)
-        else:
-            bs = BlockSizes(block_q=bq, block_k=bk,
-                            block_q_bwd=base.block_q_bwd,
-                            block_k_bwd=base.block_k_bwd).clamp(nq, nk)
-            t = _bench_fwd(bs, q, k, v, causal, iters, window=window)
+        # A candidate the compiler rejects (e.g. the fused backward's
+        # full-seq VMEM states + an aggressive tile pair overflowing the
+        # scoped limit) is just a non-winner, not a tune abort — the
+        # candidate filter's VMEM model tracks the DENSE kernels' terms
+        # and deliberately over-admits for the others.
+        try:
+            if mode == "bwd":
+                bs = BlockSizes(block_q=base.block_q, block_k=base.block_k,
+                                block_q_bwd=bq, block_k_bwd=bk).clamp(nq, nk)
+                t = _bench_bwd(bs, q, k, v, causal, iters, window=window)
+            else:
+                bs = BlockSizes(block_q=bq, block_k=bk,
+                                block_q_bwd=base.block_q_bwd,
+                                block_k_bwd=base.block_k_bwd).clamp(nq, nk)
+                t = _bench_fwd(bs, q, k, v, causal, iters, window=window)
+        except Exception as e:  # noqa: BLE001 — compile errors vary by path
+            failures.append(f"({bq},{bk}): {type(e).__name__}: "
+                            f"{str(e)[:120]}")
+            if verbose:
+                print(f"  ({bq:5d},{bk:5d}) -> failed: {failures[-1]}")
+            continue
         if verbose:
             print(f"  ({bq:5d},{bk:5d}) -> {t*1e3:8.3f} ms")
         if t < best_t:
             best_bs, best_t = bs, t
 
-    disk[key] = {
-        "block_q": best_bs.block_q, "block_k": best_bs.block_k,
-        "block_q_bwd": best_bs.block_q_bwd,
-        "block_k_bwd": best_bs.block_k_bwd,
-    }
-    _disk_cache_store(disk)
+    if failures:
+        # Never silent (a broken _bench_* or a dead device would otherwise
+        # masquerade as a successful tune), and never written to DISK: a
+        # transient failure (device OOM from a concurrent job) striking
+        # mid-sweep must not permanently cache a partially-measured winner.
+        # Deterministic rejects re-tune once per process — acceptable for
+        # an explicit user-invoked tune.
+        get_logger(__name__).warning(
+            "autotune %s %dx%d d=%d: %d/%d candidates failed "
+            "(best-of-survivors kept in-process only, disk cache skipped): "
+            "%s", mode, nq, nk, d, len(failures), len(cands),
+            "; ".join(failures[:3]))
+    if best_bs is None:
+        # Every candidate failed: fall back to the static heuristic.
+        best_bs = auto_block_sizes(nq, nk, d, causal=causal)
+    elif not failures:
+        disk[key] = {
+            "block_q": best_bs.block_q, "block_k": best_bs.block_k,
+            "block_q_bwd": best_bs.block_q_bwd,
+            "block_k_bwd": best_bs.block_k_bwd,
+        }
+        _disk_cache_store(disk)
     _MEM_CACHE[key] = best_bs
     return best_bs
 

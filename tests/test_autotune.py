@@ -51,6 +51,61 @@ def test_autotune_measures_and_caches(tmp_path, monkeypatch):
     assert bs2 == bs
 
 
+def test_autotune_skips_failing_candidate(tmp_path, monkeypatch):
+    """A candidate the compiler rejects is a non-winner, not a tune
+    abort (the fused backward's full-seq VMEM states can overflow the
+    scoped limit at aggressive tile pairs the dense-kernel VMEM model
+    admits)."""
+    monkeypatch.setattr(autotune, "_CACHE_PATH",
+                        os.path.join(tmp_path, "cache.json"))
+    autotune._MEM_CACHE.clear()
+    real_bench = autotune._bench_fwd
+
+    def bench(bs, q, k, v, causal, iters, window=0):
+        if bs.block_k == 256:
+            raise RuntimeError("Mosaic: scoped allocation exceeds limit")
+        return real_bench(bs, q, k, v, causal, iters, window=window)
+
+    monkeypatch.setattr(autotune, "_bench_fwd", bench)
+    bs = autotune.autotune_block_sizes(
+        nq=128, nk=256, d=64, dtype=jnp.float32, iters=1,
+        candidates=[(128, 256), (128, 128)])
+    assert bs.block_k == 128  # the surviving candidate won
+    # A partial sweep is memoized in-process but NEVER written to disk:
+    # a transient mid-sweep failure must not permanently cache a
+    # partially-measured winner.
+    assert autotune._MEM_CACHE
+    assert not os.path.exists(autotune._CACHE_PATH)
+
+
+def test_autotune_all_candidates_fail(tmp_path, monkeypatch):
+    """All candidates failing falls back to the static heuristic and
+    does NOT poison the disk cache (a transient device failure must not
+    be cached as a winner)."""
+    monkeypatch.setattr(autotune, "_CACHE_PATH",
+                        os.path.join(tmp_path, "cache.json"))
+    autotune._MEM_CACHE.clear()
+    calls = []
+
+    def bench(*a, **k):
+        calls.append(1)
+        raise RuntimeError("dead device")
+
+    monkeypatch.setattr(autotune, "_bench_fwd", bench)
+    bs = autotune.autotune_block_sizes(
+        nq=128, nk=128, d=64, dtype=jnp.float32, iters=1,
+        candidates=[(128, 128)])
+    assert bs == auto_block_sizes(128, 128, 64)
+    assert not os.path.exists(autotune._CACHE_PATH)
+    # ... but the heuristic IS memoized in-process, so a shape whose
+    # every candidate deterministically fails to compile doesn't re-pay
+    # the whole failed sweep on each call.
+    bs2 = autotune.autotune_block_sizes(
+        nq=128, nk=128, d=64, dtype=jnp.float32, iters=1,
+        candidates=[(128, 128)])
+    assert bs2 == bs and len(calls) == 1
+
+
 def test_autotune_bwd_mode(tmp_path, monkeypatch):
     monkeypatch.setattr(autotune, "_CACHE_PATH",
                         os.path.join(tmp_path, "cache.json"))
