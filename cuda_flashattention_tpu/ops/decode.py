@@ -203,7 +203,14 @@ def default_decode_block_k(k_dtype, v_dtype, q_dtype, qq: bool,
     multiplies the bytes streamed per step ~4x for any window smaller
     than it. The measuring autotuner
     (utils/autotune.autotune_decode_block_k) overrides per shape when
-    invoked."""
+    invoked.
+
+    `max_n` is the cache CAPACITY (the only statically known size — the
+    live length is a traced value), so a big fp8 cache serving a still-
+    short sequence streams one wide partial block per step (~4x the bytes
+    of the 8k default) until the context grows into it. Workloads
+    dominated by short live contexts in large caches should pass an
+    explicit block_k=8192."""
     fp8ish = (k_dtype == jnp.float8_e4m3fn or v_dtype == jnp.float8_e4m3fn)
     fast_cast = q_dtype == jnp.bfloat16 or qq
     no_window = int(window or 0) == 0 and not has_windows

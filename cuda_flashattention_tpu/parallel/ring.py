@@ -401,7 +401,13 @@ def ring_decode(
     the same static window with shard-local lengths is exact, because the
     decode kernel's window cut `col >= length_local - window` equals the
     global cut `g >= length - window` at every shard offset — and shards
-    wholly outside the window contribute l = 0 partials."""
+    wholly outside the window contribute l = 0 partials.
+
+    Allocate caches with N divisible by the shard count: a non-divisible
+    cache is padded here for correctness, and under jit that pad is a
+    full-cache HBM copy INSIDE the compiled step — per generated token in
+    a serving loop. Divisibility is a one-time allocation choice; the pad
+    is the escape hatch, not the intended steady state."""
     n_shards = mesh.shape[axis_name]
     b = q.shape[0]
     n = k.shape[2]

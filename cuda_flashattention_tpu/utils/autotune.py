@@ -235,9 +235,10 @@ def autotune_decode_block_k(
 ) -> int:
     """Measure decode block_k candidates on the live device (the serving
     knob VERDICT r1 #8 flagged as untuned). Candidates are powers of two
-    2048..min(ctx_padded, 16384) (128-aligned for quantized caches);
+    2048..min(ctx_padded, 32768) (128-aligned for quantized caches);
     cached like the prefill tuner. Returns the best block_k."""
-    from cuda_flashattention_tpu.ops.decode import decode_attention
+    from cuda_flashattention_tpu.ops.decode import (
+        decode_attention, default_decode_block_k)
     from cuda_flashattention_tpu.ops.quant import quantize_kv
 
     kv_heads = kv_heads or heads
@@ -260,11 +261,15 @@ def autotune_decode_block_k(
     q = jax.random.uniform(keys[2], (batch, heads, d), jnp.bfloat16,
                            -0.5, 0.5)
     lengths = jnp.full((batch,), ctx, jnp.int32)
-    kw = {}
+    # Scales ride time_scanned's *args, NOT a closure: per-token scale
+    # arrays are fp32·batch·heads·ctx (~256 MB at 1M ctx) and a captured
+    # array re-materialises as a jaxpr constant in every candidate's
+    # fresh jit (the time_scanned contract).
+    scale_args = ()
     if qtype:
         kvq = quantize_kv(k, v, qtype)
         k, v = kvq.k_q, kvq.v_q
-        kw = dict(k_scale=kvq.k_scale, v_scale=kvq.v_scale)
+        scale_args = (kvq.k_scale, kvq.v_scale)
 
     # 32768 is the known-best point for fp8-ish caches at >=65k ctx (the
     # decode_attention adaptive default) — the candidate set must reach it
@@ -272,19 +277,39 @@ def autotune_decode_block_k(
     top = min(round_up(ctx, 128), 32768)
     cands = [bk for bk in (2048, 4096, 8192, 16384, 32768)
              if bk <= top] or [top]
-    best_bk, best_t = cands[0], float("inf")
+    best_bk, best_t = None, float("inf")
+    failures = []
     for bk in cands:
-        def step(x, k, v, bk=bk):
+        def step(x, k, v, *scales, bk=bk):
+            kw = (dict(k_scale=scales[0], v_scale=scales[1]) if scales
+                  else {})
             return decode_attention(x, k, v, lengths, block_k=bk,
                                     window=window, **kw)[0]
-        t = time_scanned(step, q, k, v, inner=16, iters=iters, warmup=1)
+        try:
+            t = time_scanned(step, q, k, v, *scale_args, inner=16,
+                             iters=iters, warmup=1)
+        except Exception as e:  # noqa: BLE001 — same policy as the
+            failures.append(  # block-sizes tuner: a reject is a non-winner
+                f"block_k {bk}: {type(e).__name__}: {str(e)[:120]}")
+            if verbose:
+                print(f"  block_k {bk:6d} -> failed: {failures[-1]}")
+            continue
         if verbose:
             print(f"  block_k {bk:6d} -> {t*1e3:8.3f} ms")
         if t < best_t:
             best_bk, best_t = bk, t
 
-    disk[key] = best_bk
-    _disk_cache_store(disk)
+    if failures:
+        get_logger(__name__).warning(
+            "autotune decode ctx=%d: %d/%d candidates failed (disk cache "
+            "skipped): %s", ctx, len(failures), len(cands),
+            "; ".join(failures[:3]))
+    if best_bk is None:
+        best_bk = default_decode_block_k(k.dtype, v.dtype, q.dtype, False,
+                                         window, False, ctx)
+    elif not failures:
+        disk[key] = best_bk
+        _disk_cache_store(disk)
     _MEM_CACHE[key] = best_bk
     return best_bk
 
@@ -319,7 +344,8 @@ def autotune_page_size(
                            -0.5, 0.5)
     cands = [ps for ps in (128, 256, 512, 1024) if ps <= ctx] or [
         max(8, round_up(ctx, 8))]
-    best_ps, best_t = cands[0], float("inf")
+    best_ps, best_t = None, float("inf")
+    failures = []
     for ps in cands:
         pages_per_seq = -(-ctx // ps)
         n_pool = batch * pages_per_seq
@@ -327,29 +353,48 @@ def autotune_page_size(
                                 jnp.bfloat16, -0.5, 0.5)
         vp = jax.random.uniform(keys[1], (n_pool, heads, ps, d),
                                 jnp.bfloat16, -0.5, 0.5)
-        kw = {}
+        # per-token scales ride *args, not a closure (same contract note
+        # as the decode tuner above)
+        scale_args = ()
         if qtype:
             from cuda_flashattention_tpu.ops.quant import _pair_qtypes
             kt, vt = _pair_qtypes(qtype)  # "mixed": int8 K / fp8 V
             kp, ks = quantize_tensor(kp, kt)
             vp, vs = quantize_tensor(vp, vt)
-            kw = dict(k_scale=ks, v_scale=vs)
+            scale_args = (ks, vs)
         table = jnp.arange(n_pool, dtype=jnp.int32).reshape(
             batch, pages_per_seq)
         lengths = jnp.full((batch,), ctx, jnp.int32)
 
-        def step(x, kp, vp, kw=kw, table=table):
+        def step(x, kp, vp, *scales, table=table):
+            kw = (dict(k_scale=scales[0], v_scale=scales[1]) if scales
+                  else {})
             return paged_decode_attention(x, kp, vp, table, lengths,
                                           **kw)[0]
-        t = time_scanned(step, q, kp, vp, inner=16, iters=iters,
-                         warmup=1)
+        try:
+            t = time_scanned(step, q, kp, vp, *scale_args, inner=16,
+                             iters=iters, warmup=1)
+        except Exception as e:  # noqa: BLE001
+            failures.append(
+                f"page_size {ps}: {type(e).__name__}: {str(e)[:120]}")
+            if verbose:
+                print(f"  page_size {ps:5d} -> failed: {failures[-1]}")
+            continue
         if verbose:
             print(f"  page_size {ps:5d} -> {t*1e3:8.3f} ms")
         if t < best_t:
             best_ps, best_t = ps, t
 
-    disk[key] = best_ps
-    _disk_cache_store(disk)
+    if failures:
+        get_logger(__name__).warning(
+            "autotune page ctx=%d: %d/%d candidates failed (disk cache "
+            "skipped): %s", ctx, len(failures), len(cands),
+            "; ".join(failures[:3]))
+    if best_ps is None:
+        best_ps = min(256, cands[-1])  # static serving default
+    elif not failures:
+        disk[key] = best_ps
+        _disk_cache_store(disk)
     _MEM_CACHE[key] = best_ps
     return best_ps
 

@@ -133,12 +133,33 @@ def test_autotune_decode_block_k(tmp_path, monkeypatch):
                                       batch=1, iters=1) == bk
 
 
+def test_autotune_decode_failing_candidate(tmp_path, monkeypatch):
+    """The decode tuner applies the same failure policy as the
+    block-sizes tuner: a candidate whose compile dies is skipped (with
+    the partial result kept out of the disk cache), and an all-fail
+    sweep falls back to the static default_decode_block_k resolver."""
+    import cuda_flashattention_tpu.utils.autotune as at
+    monkeypatch.setattr(at, "_CACHE_PATH", str(tmp_path / "cache.json"))
+    at._MEM_CACHE.clear()
+    monkeypatch.setattr(
+        at, "time_scanned",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("dead")))
+    bk = at.autotune_decode_block_k(ctx=512, heads=2, d=32, batch=1,
+                                    iters=1)
+    assert bk == 8192  # bf16 static default
+    assert not os.path.exists(at._CACHE_PATH)
+
+
 def test_autotune_page_size(tmp_path, monkeypatch):
     import cuda_flashattention_tpu.utils.autotune as at
     monkeypatch.setattr(at, "_CACHE_PATH", str(tmp_path / "cache.json"))
     at._MEM_CACHE.clear()
     ps = at.autotune_page_size(ctx=512, heads=2, d=32, batch=1, iters=1)
     assert ps in (128, 256, 512)
+    # quantized pools: per-page scales ride the scan args path
+    ps8 = at.autotune_page_size(ctx=512, heads=2, d=32, batch=1,
+                                qtype="int8", iters=1)
+    assert ps8 in (128, 256, 512)
 
 
 def test_candidate_blocks_adapt_to_problem():
