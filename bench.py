@@ -37,6 +37,38 @@ SOL_FRACTION_TARGET = 0.70
 
 
 def main() -> None:
+    # Gate on device liveness: a tunnelled TPU can be unreachable for
+    # hours (docs/MEMO.md #23) and the first dispatch would hang this
+    # process forever — better to wait boundedly and fail loudly so the
+    # driver records a clean error instead of a timeout.
+    from cuda_flashattention_tpu import config as _config
+    wait_s = _config.BENCH_WAIT_DEVICE_S.as_int
+    # platform read WITHOUT jax.default_backend(): creating the PJRT
+    # client itself hangs on a dead tunnel, so the gate must run before
+    # any backend touch (measured: default_backend() blocked >400 s
+    # during the outage this gate exists for)
+    import os as _os
+    plat = str(jax.config.jax_platforms
+               or _os.environ.get("JAX_PLATFORMS", ""))
+    # primary platform only: "axon,cpu" means axon with cpu FALLBACK —
+    # the fallback never engages for a dead tunnel (the plugin
+    # initialises fine; it's the dispatch that hangs), so it must gate
+    if wait_s > 0 and plat.split(",")[0].strip() != "cpu":
+        import importlib.util as _ilu
+        import os as _os
+        spec = _ilu.spec_from_file_location(
+            "wait_device", _os.path.join(
+                _os.path.dirname(_os.path.abspath(__file__)),
+                "scripts", "wait_device.py"))
+        wd = _ilu.module_from_spec(spec)
+        spec.loader.exec_module(wd)
+        if not wd.wait_device(max_wait_s=wait_s, probe_timeout_s=120.0,
+                              interval_s=240.0):
+            print(f"bench.py: device answered no dispatch within "
+                  f"{wait_s}s (tunnel down? MEMO #23) — aborting",
+                  file=sys.stderr)
+            sys.exit(1)
+
     keys = iter(jax.random.split(jax.random.PRNGKey(0), 64))
 
     def mk(shape, dtype=jnp.bfloat16):

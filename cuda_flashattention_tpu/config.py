@@ -72,6 +72,14 @@ NATIVE_CACHE = Knob(
     os.path.join(os.path.expanduser("~"), ".cache", "cfa_tpu"),
     "Build cache dir for the native C++ oracle (runtime/native.py).")
 
+BENCH_WAIT_DEVICE_S = Knob(
+    "CFA_BENCH_WAIT_DEVICE_S", "3600",
+    "bench.py: wait up to this many seconds for the accelerator to "
+    "answer a dispatch before benchmarking (tunnelled TPUs go "
+    "unreachable for hours — docs/MEMO.md #23 — and a dead dispatch "
+    "hangs forever, so the bench would otherwise record nothing). "
+    "0 disables the gate.")
+
 # Multi-process launch (set by scripts/launch_multihost.py — the mpirun
 # equivalent; read by examples/_common.bootstrap):
 COORD = Knob("CFA_COORD", "", "Coordinator address host:port.")
