@@ -18,6 +18,10 @@ config (271M params, T=4096).
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -34,6 +38,8 @@ def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--tag", default="fused-auto")
     ap.add_argument("--skip-train", action="store_true")
+    ap.add_argument("--train-only", action="store_true")
+    ap.add_argument("--train-iters", type=int, default=4)
     ap.add_argument("--seq", type=int, default=16384)
     ap.add_argument("--heads", type=int, default=16)
     ap.add_argument("--d", type=int, default=128)
@@ -49,6 +55,10 @@ def main() -> None:
 
     q, k, v, do = (mk((B, H, N, D)) for _ in range(4))
 
+    if opts.train_only:
+        _train(opts, tag)
+        return
+
     grad_fn = jax.grad(
         lambda q, k, v, do: jnp.sum(
             flash_attention(q, k, v, causal=True).astype(jnp.float32)
@@ -63,7 +73,10 @@ def main() -> None:
 
     if opts.skip_train:
         return
+    _train(opts, tag)
 
+
+def _train(opts, tag: str) -> None:
     import optax
     from cuda_flashattention_tpu.models.transformer import (
         TransformerConfig, init_params, make_train_step)
@@ -80,7 +93,7 @@ def main() -> None:
     opt_state = opt.init(params)
     t_train = time_scanned(
         lambda p, os_, tk: step(p, os_, tk)[0], params, opt_state,
-        tokens, inner=4, iters=4)
+        tokens, inner=4, iters=opts.train_iters)
     train_flops = (6.0 * n_params * tokens.size
                    + 3 * attention_flops(1, cfg.n_heads, 4096, 4096,
                                          cfg.d_head, causal=True)
