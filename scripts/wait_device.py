@@ -45,8 +45,10 @@ def wait_device(max_wait_s: float = 7200.0, probe_timeout_s: float = 120.0,
                 text=True, timeout=probe_timeout_s)
             if out.returncode == 0:
                 if verbose:
+                    # stderr: callers like bench.py reserve stdout for
+                    # their ONE machine-parsed JSON line
                     print(f"device up (attempt {attempt}): "
-                          f"{out.stdout.strip()}")
+                          f"{out.stdout.strip()}", file=sys.stderr)
                 return True
             reason = (out.stderr or out.stdout).strip().splitlines()
             reason = reason[-1][:120] if reason else f"rc={out.returncode}"
@@ -55,7 +57,8 @@ def wait_device(max_wait_s: float = 7200.0, probe_timeout_s: float = 120.0,
         remaining = deadline - time.monotonic()
         if verbose:
             print(f"attempt {attempt}: {reason} "
-                  f"({remaining/60:.0f} min left)", flush=True)
+                  f"({remaining/60:.0f} min left)", file=sys.stderr,
+                  flush=True)
         if remaining <= interval_s:
             return False
         time.sleep(interval_s)
