@@ -190,17 +190,21 @@ def main() -> None:
 
     bench.section("prefill_65k", sec_prefill_65k)
 
-    # --- forward+backward (training shape; dq feeds next q) ---
+    # --- forward+backward (training shape; combined grads feed next q).
+    # ALL of dQ/dK/dV must be consumed: with argnums=0 XLA dead-codes
+    # the split path's entire dKdV kernel (its outputs are unused), so
+    # r2/r3 recorded a dQ-only time as "fwd+bwd" — inflated ~30%. ---
     def sec_fwd_bwd():
         q, k, v = live["q"], live["k"], live["v"]
         do = mk((B, H, N, D))
         grad_fn = jax.grad(
             lambda q, k, v, do: jnp.sum(
                 flash_attention(q, k, v, causal=True).astype(jnp.float32)
-                * do.astype(jnp.float32)), argnums=0)
-        t_fb = time_scanned(
-            lambda x, k_, v_, do_: jnp.tanh(grad_fn(x, k_, v_, do_)),
-            q, k, v, do, inner=4, iters=4)
+                * do.astype(jnp.float32)), argnums=(0, 1, 2))
+        def fb_step(x, k_, v_, do_):
+            dq, dk, dv = grad_fn(x, k_, v_, do_)
+            return jnp.tanh(dq + dk + dv)
+        t_fb = time_scanned(fb_step, q, k, v, do, inner=4, iters=4)
         extra["fwd_bwd_tflops"] = (
             attention_flops(B, H, N, N, D, causal=True)
             + attention_flops(B, H, N, N, D, causal=True,

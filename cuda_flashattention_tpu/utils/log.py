@@ -47,11 +47,27 @@ class _ProcessFormatter(logging.Formatter):
         return super().format(record)
 
 
+class _StderrHandler(logging.StreamHandler):
+    """StreamHandler that resolves sys.stderr AT EMIT TIME.
+
+    Binding the stream at configure time pins whatever object sys.stderr
+    was when the FIRST get_logger() ran — under pytest's capsys (or any
+    stderr redirection installed later) records then bypass the
+    redirect. Same pattern as logging's lastResort handler."""
+
+    def __init__(self) -> None:
+        logging.Handler.__init__(self)
+
+    @property
+    def stream(self):
+        return sys.stderr
+
+
 def _configure() -> None:
     global _CONFIGURED
     if _CONFIGURED:
         return
-    handler = logging.StreamHandler(sys.stderr)
+    handler = _StderrHandler()
     handler.setFormatter(_ProcessFormatter(
         "[p%(proc)d] %(asctime)s %(levelname)s %(name)s: %(message)s",
         datefmt="%H:%M:%S"))

@@ -59,13 +59,19 @@ def main() -> None:
         _train(opts, tag)
         return
 
+    # argnums MUST be (0,1,2): with dQ alone, XLA dead-codes the split
+    # path's dKdV kernel entirely (unused outputs), making "split" read
+    # ~30% fast — it's a dQ-only time, not a backward time.
     grad_fn = jax.grad(
         lambda q, k, v, do: jnp.sum(
             flash_attention(q, k, v, causal=True).astype(jnp.float32)
-            * do.astype(jnp.float32)), argnums=0)
-    t_fb = time_scanned(
-        lambda x, k_, v_, do_: jnp.tanh(grad_fn(x, k_, v_, do_)),
-        q, k, v, do, inner=4, iters=4)
+            * do.astype(jnp.float32)), argnums=(0, 1, 2))
+
+    def fb_step(x, k_, v_, do_):
+        dq, dk, dv = grad_fn(x, k_, v_, do_)
+        return jnp.tanh(dq + dk + dv)
+
+    t_fb = time_scanned(fb_step, q, k, v, do, inner=4, iters=4)
     fl = (attention_flops(B, H, N, N, D, causal=True)
           + attention_flops(B, H, N, N, D, causal=True, backward=True))
     print(f"[{tag}] fwd+bwd causal N={N}: {fl / t_fb / 1e12:.1f} TF/s "
