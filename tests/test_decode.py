@@ -266,13 +266,16 @@ def test_default_block_k_resolution():
 
     f8, i8, bf, f32 = (jnp.float8_e4m3fn, jnp.int8, jnp.bfloat16,
                        jnp.float32)
-    # the 1M fp8/bf16-q serving point gets the wide block; mixed too (V fp8)
-    assert default_decode_block_k(f8, f8, bf, False, 0, False, 1 << 20) == 32768
-    assert default_decode_block_k(i8, f8, bf, True, 0, False, 1 << 20) == 32768
-    # fp32 q (slow fp32-dequant path): VMEM-unsafe at 32k -> 8192
+    # the 1M fp8/bf16-q serving point gets the widest block (r4: 65536
+    # at >=256k capacity — mixed+qq measured 133.4 -> 137.1 tok/s on
+    # v5e); mixed too (V fp8); 131k capacity keeps 32768
+    assert default_decode_block_k(f8, f8, bf, False, 0, False, 1 << 20) == 65536
+    assert default_decode_block_k(i8, f8, bf, True, 0, False, 1 << 20) == 65536
+    assert default_decode_block_k(f8, f8, bf, False, 0, False, 131072) == 32768
+    # fp32 q (slow fp32-dequant path): VMEM-unsafe at 32k+ -> 8192
     assert default_decode_block_k(f8, f8, f32, False, 0, False, 1 << 20) == 8192
     # quantize_q forces bf16 compute even for fp32 q
-    assert default_decode_block_k(i8, f8, f32, True, 0, False, 1 << 20) == 32768
+    assert default_decode_block_k(i8, f8, f32, True, 0, False, 1 << 20) == 65536
     # windowed serving (static or per-seq) keeps the narrow block
     assert default_decode_block_k(f8, f8, bf, False, 4096, False, 1 << 20) == 8192
     assert default_decode_block_k(f8, f8, bf, False, 0, True, 1 << 20) == 8192
