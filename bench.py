@@ -24,6 +24,7 @@ decode caches last.
 
 from __future__ import annotations
 
+import functools
 import gc
 import json
 import sys
@@ -195,6 +196,9 @@ def main() -> None:
     # the split path's entire dKdV kernel (its outputs are unused), so
     # r2/r3 recorded a dQ-only time as "fwd+bwd" — inflated ~30%. ---
     def sec_fwd_bwd():
+        if not live:  # section isolation: survive a sec_forward crash
+            live["q"], live["k"], live["v"] = (
+                mk((B, H, N, D)) for _ in range(3))
         q, k, v = live["q"], live["k"], live["v"]
         do = mk((B, H, N, D))
         grad_fn = jax.grad(
@@ -259,6 +263,44 @@ def main() -> None:
         }
 
     bench.section("train_step", sec_train)
+    gc.collect()
+
+    # --- end-to-end serving: full-model generate() (prefill + scanned
+    # decode through the quantized cache) — the framework-level number a
+    # kernel-only row can't capture (models/generate.py) ---
+    def sec_serving():
+        from cuda_flashattention_tpu.models.generate import generate
+        from cuda_flashattention_tpu.models.transformer import (
+            TransformerConfig, init_params)
+        from cuda_flashattention_tpu.utils.timing import time_chained
+        cfg = TransformerConfig(
+            vocab_size=32000, d_model=2048, n_layers=4, n_heads=16,
+            n_kv_heads=4, d_head=128, d_ff=5632, max_seq=8192,
+            dtype=jnp.bfloat16)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        n_params = sum(x.size
+                       for x in jax.tree_util.tree_leaves(params))
+        bsz, t_prompt, n_new = 8, 512, 128
+        prompt = jax.random.randint(jax.random.PRNGKey(2),
+                                    (bsz, t_prompt), 0, cfg.vocab_size)
+        for qt in (None, "int8"):
+            run = functools.partial(
+                generate, params, cfg=cfg, max_new_tokens=n_new,
+                max_len=t_prompt + n_new, qtype=qt)
+            # the generated tail feeds back as the next prompt, so calls
+            # chain on-device; time_chained adds the warmup host
+            # readback the tunnelled backend needs (MEMO #22)
+            dt = time_chained(lambda p: run(p)[0][:, -t_prompt:],
+                              prompt, iters=3, warmup=1)
+            tag = qt or "bf16"
+            extra[f"serving_e2e_{tag}_tokens_per_s"] = (
+                bsz * n_new / dt)
+        extra["serving_e2e_config"] = (
+            f"generate(): {n_params / 1e6:.0f}M GQA16x4 model, B={bsz} "
+            f"prompt={t_prompt} new={n_new}, prefill+decode in one jit, "
+            f"greedy")
+
+    bench.section("serving_e2e", sec_serving)
     gc.collect()
     jax.clear_caches()  # free executables before the cache-churn rows
 
