@@ -271,11 +271,14 @@ def autotune_decode_block_k(
         k, v = kvq.k_q, kvq.v_q
         scale_args = (kvq.k_scale, kvq.v_scale)
 
-    # 32768 is the known-best point for fp8-ish caches at >=65k ctx (the
-    # decode_attention adaptive default) — the candidate set must reach it
-    # or tuning would override the default DOWNWARD.
-    top = min(round_up(ctx, 128), 32768)
-    cands = [bk for bk in (2048, 4096, 8192, 16384, 32768)
+    # 65536 is the known-best point for fp8-ish caches at >=256k ctx (the
+    # decode_attention adaptive default; mixed+qq measured 133.4 -> 137.1
+    # tok/s at 1M) — the candidate set must reach it or tuning would
+    # override the default DOWNWARD. (128k blocks fail VMEM compile; the
+    # per-candidate try/except would skip them anyway, but don't waste
+    # the compile.)
+    top = min(round_up(ctx, 128), 65536)
+    cands = [bk for bk in (2048, 4096, 8192, 16384, 32768, 65536)
              if bk <= top] or [top]
     best_bk, best_t = None, float("inf")
     failures = []
