@@ -45,6 +45,25 @@ from cuda_flashattention_tpu.ops.common import (
 )
 
 
+
+def window_block_offset(length, win, block: int, window_cap: int):
+    """Window-relative -> absolute first block, with the static hard cap.
+
+    THE single implementation shared by both the host index maps and the
+    kernel bodies of contiguous AND paged decode (4 call sites): the
+    index map decides which block is DMA'd while the kernel decides
+    which columns are masked — computing (first, capped_win) in one
+    place makes it impossible for the fetch and the mask to diverge.
+    Returns (first_block, capped_win); `window_cap` 0 means uncapped.
+    """
+    if window_cap:
+        # the static `window` sizes the O(window) grid, so it is a HARD
+        # CAP on per-seq values — without it a windows[i] > window would
+        # silently skip the newest in-window blocks
+        win = jnp.minimum(win, window_cap)
+    return jnp.maximum(0, (length - win) // block), win
+
+
 def attend_block(q_ref, k_ref, v_ref, k_scale_ref, v_scale_ref,
                  m_s, l_s, acc_s, *, col0, length, win, scale: float,
                  quantized: bool, k_fast: bool, v_fast: bool,
@@ -133,7 +152,6 @@ def _decode_kernel(
     k_fast: bool,
     v_fast: bool,
     qq: bool,
-    group: int,
     windowed: bool,
     window_cap: int,
 ):
@@ -155,18 +173,14 @@ def _decode_kernel(
     ik = pl.program_id(2)
     nblk = pl.num_programs(2)
     length = len_ref[b]
-    win = win_ref[b] if windowed else None
-    if windowed and window_cap:
-        # the static `window` sizes the O(window) grid, so it is a HARD
-        # CAP on the per-seq values — without the clamp a windows[i] >
-        # window would silently skip the newest in-window blocks
-        win = jnp.minimum(win, window_cap)
-
+    win = None
     if windowed:
         # windowed: the GRID only spans ceil(window/bk)+1 blocks; each
         # step addresses absolute cache block first+ik (the host's index
-        # maps use the same offset), so work is O(window) not O(max_len)
-        first = jnp.maximum(0, (length - win) // block_k)
+        # maps share window_block_offset), so work is O(window) not
+        # O(max_len)
+        first, win = window_block_offset(length, win_ref[b], block_k,
+                                         window_cap)
         ik = first + ik
 
     @pl.when(pl.program_id(2) == 0)
@@ -333,11 +347,10 @@ def decode_attention(
         last = jnp.maximum(pl.cdiv(len_ref[bb], block_k) - 1, 0)
         if windowed:
             # grid index is window-relative; offset to the absolute block
-            # (same static cap as the kernel applies)
-            wb = win_ref[bb]
-            if window:
-                wb = jnp.minimum(wb, window)
-            ik = jnp.maximum(0, (len_ref[bb] - wb) // block_k) + ik
+            # via the SAME helper the kernel uses
+            first, _ = window_block_offset(len_ref[bb], win_ref[bb],
+                                           block_k, window)
+            ik = first + ik
         return jnp.minimum(ik, last)
 
     def kv_index(bb, hh, ik, len_ref, win_ref):
@@ -378,7 +391,7 @@ def decode_attention(
     kernel = functools.partial(
         _decode_kernel, scale=scale, block_k=block_k,
         quantized=quantized, k_fast=k_fast, v_fast=v_fast, qq=qq,
-        group=group, windowed=windowed, window_cap=window)
+        windowed=windowed, window_cap=window)
 
     o, lse = pl.pallas_call(
         kernel,

@@ -120,7 +120,6 @@ def _bwd_dkdv_kernel(
     scale: float,
     causal: bool,
     kv_offset: int,
-    nq_valid: int,
     nk_valid: int,
     block_q: int,
     block_k: int,
@@ -196,7 +195,6 @@ def _bwd_dq_kernel(
     scale: float,
     causal: bool,
     kv_offset: int,
-    nq_valid: int,
     nk_valid: int,
     block_q: int,
     block_k: int,
@@ -257,7 +255,6 @@ def _bwd_fused_kernel(
     scale: float,
     causal: bool,
     kv_offset: int,
-    nq_valid: int,
     nk_valid: int,
     block_q: int,
     block_k: int,
@@ -481,7 +478,7 @@ def flash_attention_backward(
         raise ValueError("window requires causal=True")
     common = dict(
         scale=scale, causal=causal, kv_offset=kv_offset,
-        nq_valid=nq, nk_valid=nk, block_q=block_q, block_k=block_k,
+        nk_valid=nk, block_q=block_q, block_k=block_k,
         window=window, segmented=segmented,
     )
     seg_inputs = []
@@ -647,8 +644,13 @@ def flash_attention_backward(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=10 * b * h * nq_p * nk_p * d,
-            bytes_accessed=(2 * q_p.size + 2 * k_p.size + 2 * v_p.size)
+            # 4 matmuls per tile pair (S, dP, dV, dK), 2*Bq*Bk*d each;
+            # Q/dO restream once per KV block, K/V fetch once per group
+            # member (review r4: the 5-matmul count here was the FUSED
+            # kernel's, copy-pasted)
+            flops=8 * b * h * nq_p * nk_p * d,
+            bytes_accessed=((q_p.size + do_p.size) * (nk_p // block_k)
+                            + (k_p.size + v_p.size) * group)
             * q_p.dtype.itemsize,
             transcendentals=b * h * nq_p * nk_p,
         ),
@@ -685,8 +687,11 @@ def flash_attention_backward(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=8 * b * h * nq_p * nk_p * d,
-            bytes_accessed=(2 * q_p.size + k_p.size + v_p.size)
+            # 3 matmuls per tile pair (S, dP, dQ); K/V restream once per
+            # Q block while Q/dO stay resident across the KV axis
+            flops=6 * b * h * nq_p * nk_p * d,
+            bytes_accessed=(2 * q_p.size
+                            + (k_p.size + v_p.size) * (nq_p // block_q))
             * q_p.dtype.itemsize,
             transcendentals=b * h * nq_p * nk_p,
         ),

@@ -44,6 +44,7 @@ from cuda_flashattention_tpu.ops.common import (
 from cuda_flashattention_tpu.ops.decode import (
     attend_block,
     decode_epilogue,
+    window_block_offset,
 )
 
 
@@ -82,15 +83,14 @@ def _paged_kernel(
     ip = pl.program_id(2)
     n_pages = pl.num_programs(2)
     length = lengths_ref[b]
-    win = win_ref[b] if windowed else None
-    if windowed and window_cap:
-        # static `window` sizes the O(window) page grid → hard cap
-        win = jnp.minimum(win, window_cap)
+    win = None
     if windowed:
         # grid index is window-relative; offset to the absolute logical
-        # page (the host's page_index map applies the same offset), so
+        # page via the SAME helper the host's page_index map uses, so
         # work is O(window) pages, not O(max_pages)
-        ip = jnp.maximum(0, (length - win) // page_size) + ip
+        first, win = window_block_offset(length, win_ref[b], page_size,
+                                         window_cap)
+        ip = first + ip
 
     @pl.when(pl.program_id(2) == 0)
     def _init():
@@ -190,12 +190,10 @@ def paged_decode_attention(
         # consecutive identical physical ids → the pipeline skips the DMA
         last = jnp.maximum(pl.cdiv(len_ref[bb], page_size) - 1, 0)
         if windowed:
-            # grid index is window-relative (kernel applies same offset
-            # and the same static cap)
-            wb = win_ref[bb]
-            if window:
-                wb = jnp.minimum(wb, window)
-            ip = jnp.maximum(0, (len_ref[bb] - wb) // page_size) + ip
+            # grid index is window-relative (same helper as the kernel)
+            first, _ = window_block_offset(len_ref[bb], win_ref[bb],
+                                           page_size, window)
+            ip = first + ip
         return (tab_ref[bb, jnp.minimum(ip, last)], hh, 0, 0)
 
     in_specs = [
@@ -439,11 +437,20 @@ def paged_append(cache: PagedKVCache, k_new: jnp.ndarray,
 
 def paged_decode_step(q: jnp.ndarray, cache: PagedKVCache,
                       scale: Optional[float] = None,
+                      window: int = 0,
+                      windows: Optional[jnp.ndarray] = None,
+                      quantize_q: bool = False,
                       interpret: Optional[bool] = None):
-    """Attend one query token per sequence against the paged cache."""
+    """Attend one query token per sequence against the paged cache.
+
+    Forwards the full paged_decode_attention surface (sliding windows,
+    per-seq dynamic windows, quantize_q) — the wrapper previously
+    dropped them, so windowed serving over the convenience API silently
+    attended the whole cache."""
     return paged_decode_attention(
         q, cache.k_pages, cache.v_pages, cache.page_table, cache.lengths,
         k_scale=cache.k_scale, v_scale=cache.v_scale, scale=scale,
+        window=window, windows=windows, quantize_q=quantize_q,
         interpret=interpret)
 
 

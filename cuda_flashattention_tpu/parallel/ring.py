@@ -202,10 +202,19 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
                 qseg=qseg if ragged else None,
                 kseg=kseg if ragged else None)
             if step < max_steps - 1:
-                k_nxt, v_nxt, o_s, lse_s = jax.lax.optimization_barrier(
-                    (k_nxt, v_nxt, o_s, lse_s))
                 if ragged:
+                    # kseg's permute must ride the same barrier as k/v —
+                    # outside it, XLA is free to schedule the segment-id
+                    # transfer serially (the exact un-overlapped pattern
+                    # the barrier exists to prevent)
+                    k_nxt, v_nxt, ks_nxt, o_s, lse_s = (
+                        jax.lax.optimization_barrier(
+                            (k_nxt, v_nxt, ks_nxt, o_s, lse_s)))
                     kseg = ks_nxt
+                else:
+                    k_nxt, v_nxt, o_s, lse_s = (
+                        jax.lax.optimization_barrier(
+                            (k_nxt, v_nxt, o_s, lse_s)))
             if o is None:
                 o, lse = o_s, lse_s
             else:
@@ -245,9 +254,14 @@ def _make_ring_local(axis_name: str, n_shards: int, scale: float,
                 qseg=qseg if ragged else None,
                 kseg=kseg if ragged else None)
             if step < max_steps - 1:
-                k_nxt, v_nxt, dq_s, dk_s, dv_s = (
-                    jax.lax.optimization_barrier(
-                        (k_nxt, v_nxt, dq_s, dk_s, dv_s)))
+                if ragged:
+                    k_nxt, v_nxt, ks_nxt, dq_s, dk_s, dv_s = (
+                        jax.lax.optimization_barrier(
+                            (k_nxt, v_nxt, ks_nxt, dq_s, dk_s, dv_s)))
+                else:
+                    k_nxt, v_nxt, dq_s, dk_s, dv_s = (
+                        jax.lax.optimization_barrier(
+                            (k_nxt, v_nxt, dq_s, dk_s, dv_s)))
             dq = dq + dq_s.astype(jnp.float32)
             dk_cur = dk_cur + dk_s.astype(jnp.float32)
             dv_cur = dv_cur + dv_s.astype(jnp.float32)

@@ -381,3 +381,33 @@ def test_paged_fp8_bf16_q(setup):
     tol = 1e-2 if jax.default_backend() == "tpu" else 1e-3
     assert_close(o_p.astype(jnp.float32), o_c.astype(jnp.float32), tol,
                  name="paged fp8 bf16-q")
+
+
+def test_paged_decode_step_forwards_window():
+    """paged_decode_step must forward window/windows/quantize_q to
+    paged_decode_attention (review r4: the convenience wrapper silently
+    dropped them, so windowed serving through it attended the WHOLE
+    cache)."""
+    from cuda_flashattention_tpu.ops.paged import (
+        PageAllocator, init_paged_cache, paged_bulk_append,
+        paged_decode_step)
+    from cuda_flashattention_tpu.ops.naive import naive_attention
+
+    rng = np.random.default_rng(17)
+    b, hkv, h, d, page, n = 1, 2, 2, 32, 64, 256
+    k = jnp.asarray(rng.uniform(-0.5, 0.5, (b, hkv, n, d)), jnp.float32)
+    v = jnp.asarray(rng.uniform(-0.5, 0.5, (b, hkv, n, d)), jnp.float32)
+    # poison the out-of-window prefix: if the window is dropped, these
+    # huge values leak into the output and the compare fails loudly
+    k = k.at[:, :, : n - 64].set(1e3)
+    q = jnp.asarray(rng.uniform(-0.5, 0.5, (b, h, d)), jnp.float32)
+    cache = init_paged_cache(n_pages=8, batch=b, max_pages=4,
+                             heads_kv=hkv, page_size=page, d=d,
+                             dtype=jnp.float32)
+    alloc = PageAllocator(8)
+    cache = alloc.reserve_for(cache, 0, n)
+    cache = paged_bulk_append(cache, k, v)
+    o, _ = paged_decode_step(q, cache, window=64)
+    o_ref, _ = naive_attention(q[:, :, None, :], k[:, :, n - 64:],
+                               v[:, :, n - 64:])
+    assert_close(o, o_ref[:, :, 0], 1e-4, name="paged_decode_step window")
