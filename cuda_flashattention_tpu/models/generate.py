@@ -37,7 +37,7 @@ def _sample(logits: jnp.ndarray, key, temperature: float) -> jnp.ndarray:
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "max_new_tokens", "max_len", "qtype",
-                     "temperature"),
+                     "temperature", "quantize_q"),
 )
 def generate(
     params,
@@ -48,12 +48,16 @@ def generate(
     qtype: Optional[str] = None,
     temperature: float = 0.0,
     key: Optional[jax.Array] = None,
+    quantize_q: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Generate continuations. prompt [B, T] int32 → (tokens [B, T+N],
     logits_last [B, V]).
 
-    qtype None/"int8"/"fp8" selects the cache storage; decode reads it
-    through the fused-dequant kernel either way. temperature 0 = greedy.
+    qtype None/"int8"/"fp8"/"mixed" selects the cache storage; decode
+    reads it through the fused-dequant kernel either way. temperature 0
+    = greedy. quantize_q=True additionally runs decode QKᵀ on the MXU's
+    2× int8 path for int8-K caches (per-head int8 Q — the GQA-serving
+    win; see ops/decode.py).
     """
     b, t = prompt.shape
     max_len = max_len or (t + max_new_tokens)
@@ -67,16 +71,21 @@ def generate(
     key, sub = jax.random.split(key)
     first = _sample(logits, sub, temperature)
 
+    # Only the LAST step's logits are returned, so they live in the scan
+    # CARRY; stacking (token, logits) per step would allocate an
+    # [N, B, vocab] fp32 buffer (~2 GB at B=8/V=32k/N=2k) that competes
+    # with the KV caches for HBM for the whole generation.
     def step(carry, _):
-        token, position, caches, key = carry
-        logits, caches = decode_one(params, token, position, cfg, caches)
+        token, position, caches, key, _ = carry
+        logits, caches = decode_one(params, token, position, cfg, caches,
+                                    quantize_q=quantize_q)
         key, sub = jax.random.split(key)
         nxt = _sample(logits, sub, temperature)
-        return (nxt, position + 1, caches, key), (token, logits)
+        return (nxt, position + 1, caches, key, logits), token
 
-    (_, _, _, _), (tokens, all_logits) = jax.lax.scan(
-        step, (first, jnp.int32(t), caches, key), None,
+    (_, _, _, _, last_logits), tokens = jax.lax.scan(
+        step, (first, jnp.int32(t), caches, key, logits), None,
         length=max_new_tokens)
     # scan stacks along axis 0 → [N, B]; emit [B, T+N]
     out = jnp.concatenate([prompt, tokens.T], axis=1)
-    return out, all_logits[-1]
+    return out, last_logits

@@ -84,7 +84,11 @@ def init_params(key: jax.Array, cfg: TransformerConfig) -> Params:
             w_down=dense(lk[6], cfg.d_ff, (cfg.d_ff, cfg.d_model)),
         ))
     return dict(
-        embed=dense(keys[0], 1, (cfg.vocab_size, cfg.d_model)),
+        # tied embedding/unembedding: 1/sqrt(d_model) keeps the INITIAL
+        # logits at unit variance through the tied head (fan_in=1 gave
+        # N(0,1) embeddings -> logits std ~sqrt(d_model) ~ 45 and a
+        # saturated initial softmax — review r4)
+        embed=dense(keys[0], cfg.d_model, (cfg.vocab_size, cfg.d_model)),
         final_norm=jnp.ones((cfg.d_model,), cfg.dtype),
         layers=layers,
     )
@@ -225,31 +229,14 @@ def prefill(params: Params, tokens: jnp.ndarray, cfg: TransformerConfig,
             caches: Tuple[KVCache, ...],
             block_sizes: Optional[BlockSizes] = None):
     """Run the prompt through the model, filling the caches.
-    Returns (logits_last [B, V], caches)."""
-    b, t = tokens.shape
-    x = params["embed"][tokens].astype(cfg.dtype)
-    positions = jnp.arange(t)
-    new_caches = []
-    for layer, cache in zip(params["layers"], caches):
-        h = rms_norm(x, layer["attn_norm"])
-        q = (h @ layer["wq"]).reshape(b, t, cfg.n_heads, cfg.d_head)
-        k = (h @ layer["wk"]).reshape(b, t, cfg.n_kv_heads, cfg.d_head)
-        v = (h @ layer["wv"]).reshape(b, t, cfg.n_kv_heads, cfg.d_head)
-        q = rope(q, positions, cfg.rope_theta)
-        k = rope(k, positions, cfg.rope_theta)
-        cache = cache_append(cache, k.transpose(0, 2, 1, 3),
-                             v.transpose(0, 2, 1, 3))
-        new_caches.append(cache)
-        o = flash_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3), causal=True, window=cfg.window,
-            block_sizes=block_sizes)
-        o = o.transpose(0, 2, 1, 3).reshape(b, t, cfg.d_q)
-        x = x + (o @ layer["wo"]).astype(x.dtype)
-        x = _mlp_block(layer, x)
-    x = rms_norm(x, params["final_norm"])
-    logits = (x[:, -1] @ params["embed"].T).astype(jnp.float32)
-    return logits, tuple(new_caches)
+    Returns (logits_last [B, V], caches).
+
+    Delegates to prefill_chunk at start=0 — whole-prompt prefill IS the
+    single-chunk case (the prefix branch is dead at start 0), and one
+    implementation keeps the per-layer QKV/rope/attention plumbing from
+    diverging across copies (review r4)."""
+    return prefill_chunk(params, tokens, 0, cfg, caches,
+                         block_sizes=block_sizes)
 
 
 def prefill_chunk(params: Params, tokens: jnp.ndarray, start: int,
@@ -340,9 +327,12 @@ def prefill_chunked(params: Params, tokens: jnp.ndarray,
 
 
 def decode_one(params: Params, token: jnp.ndarray, position,
-               cfg: TransformerConfig, caches: Tuple[KVCache, ...]):
+               cfg: TransformerConfig, caches: Tuple[KVCache, ...],
+               quantize_q: bool = False):
     """One autoregressive step: token [B] → (logits [B, V], caches).
-    Attention reads the (possibly quantized) caches via the decode kernel."""
+    Attention reads the (possibly quantized) caches via the decode
+    kernel; `quantize_q` routes int8-K caches through the 2× int8-MXU
+    QKᵀ path (ops/decode.py)."""
     b = token.shape[0]
     x = params["embed"][token].astype(cfg.dtype)  # [B, D]
     positions = jnp.full((1,), position, jnp.int32)
@@ -357,8 +347,9 @@ def decode_one(params: Params, token: jnp.ndarray, position,
         cache = cache_append(cache, k.transpose(0, 2, 1, 3),
                              v.transpose(0, 2, 1, 3))
         new_caches.append(cache)
-        o, _ = decode_step(q[:, 0].transpose(0, 1, 2).reshape(
-            b, cfg.n_heads, cfg.d_head), cache, window=cfg.window)
+        # q[:, 0] is already (B, H, d) — the decode kernel's layout
+        o, _ = decode_step(q[:, 0], cache, window=cfg.window,
+                           quantize_q=quantize_q)
         x = x + (o.reshape(b, cfg.d_q) @ layer["wo"]).astype(x.dtype)
         x = _mlp_block(layer, x[:, None, :])[:, 0]
     x = rms_norm(x, params["final_norm"])

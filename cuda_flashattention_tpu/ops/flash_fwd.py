@@ -119,7 +119,6 @@ def _fwd_kernel(
     causal: bool,
     window: int,  # 0 = unbounded; else causal sliding window size
     kv_offset: int,
-    nq_valid: int,
     nk_valid: int,
     block_q: int,
     block_k: int,
@@ -1047,7 +1046,6 @@ def flash_attention_forward(
             causal=causal,
             window=window,
             kv_offset=kv_offset,
-            nq_valid=nq,
             nk_valid=nk,
             block_q=block_q,
             block_k=block_k,

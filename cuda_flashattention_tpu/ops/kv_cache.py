@@ -131,16 +131,21 @@ def decode_step(
     scale: Optional[float] = None,
     block_k: Optional[int] = None,
     window: int = 0,
+    quantize_q: bool = False,
     interpret: Optional[bool] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Attend one new query token q [B,H,d] against the live cache.
 
     Returns (o [B,H,d], lse [B,H]). The caller appends the token's K/V
     (usually BEFORE calling, so the token attends to itself).
+    `quantize_q=True` routes int8-K caches through the 2× int8-MXU QKᵀ
+    path (review r4: the wrapper previously dropped the kwarg, so the
+    serving stack could never reach the measured GQA-decode win).
     """
     b = q.shape[0]
     lengths = jnp.full((b,), cache.length, jnp.int32)
     return decode_attention(
         q, cache.k, cache.v, lengths,
         k_scale=cache.k_scale, v_scale=cache.v_scale,
-        scale=scale, block_k=block_k, window=window, interpret=interpret)
+        scale=scale, block_k=block_k, window=window,
+        quantize_q=quantize_q, interpret=interpret)

@@ -46,14 +46,18 @@ def test_greedy_matches_uncached_forward(setup):
     assert (out == ref).all(), f"{out} vs {ref}"
 
 
-@pytest.mark.parametrize("qtype", ["int8", "fp8"])
-def test_quantized_cache_generates(setup, qtype):
+@pytest.mark.parametrize("qtype,qq", [("int8", False), ("fp8", False),
+                                      ("int8", True), ("mixed", True)])
+def test_quantized_cache_generates(setup, qtype, qq):
     # quantisation perturbs logits; require a valid rollout and a high
-    # token-level agreement with the exact path rather than equality
+    # token-level agreement with the exact path rather than equality.
+    # qq=True drives the quantize_q plumbing through
+    # generate -> decode_one -> decode_step (review r4: the serving
+    # stack previously could not reach the 2x int8-MXU decode path)
     params, prompt = setup
     n_new = 6
     out, logits = generate(params, prompt, CFG, max_new_tokens=n_new,
-                           qtype=qtype)
+                           qtype=qtype, quantize_q=qq)
     assert out.shape == (2, 7 + n_new)
     assert ((out >= 0) & (out < CFG.vocab_size)).all()
     assert jnp.isfinite(logits).all()
