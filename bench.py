@@ -196,7 +196,10 @@ def main() -> None:
     # the split path's entire dKdV kernel (its outputs are unused), so
     # r2/r3 recorded a dQ-only time as "fwd+bwd" — inflated ~30%. ---
     def sec_fwd_bwd():
-        if not live:  # section isolation: survive a sec_forward crash
+        # section isolation: survive a sec_forward crash, including one
+        # mid-population (q set, k/v not) — guard on completeness.
+        if any(key not in live for key in ("q", "k", "v")):
+            live.clear()
             live["q"], live["k"], live["v"] = (
                 mk((B, H, N, D)) for _ in range(3))
         q, k, v = live["q"], live["k"], live["v"]

@@ -62,6 +62,13 @@ class _StderrHandler(logging.StreamHandler):
     def stream(self):
         return sys.stderr
 
+    @stream.setter
+    def stream(self, value):
+        raise AttributeError(
+            "_StderrHandler resolves sys.stderr at emit time; "
+            "setStream()/stream assignment is unsupported — redirect "
+            "sys.stderr itself instead.")
+
 
 def _configure() -> None:
     global _CONFIGURED
