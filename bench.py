@@ -9,8 +9,10 @@ int8 forwards, causal, fwd+bwd, GQA + quantized decode tokens/s vs
 context, train step) ride in "extra".
 
 Timing uses scan-chaining inside one jit (utils/timing.time_scanned)
-because the tunnelled TPU backend acks dispatches early and has a ~1 ms
-per-dispatch floor.
+because the tunnelled TPU backend acks dispatches early and has a
+per-dispatch floor; the floor VARIES day to day (~1 ms on the round-4
+bench day, ~7 ms a day later), so time_scanned measures two scan
+lengths and takes the slope — the floor cancels whatever it is.
 
 FAIL-SOFT STRUCTURE (lesson of BENCH_r03: a single HBM OOM in the
 LAST section threw away every already-measured number): results are
@@ -131,10 +133,12 @@ def main() -> None:
     live: dict = {}
 
     # Every attention row is SCAN-CHAINED (utils/timing.time_scanned):
-    # the tunnelled backend has a ~1 ms per-dispatch floor that plain
+    # the tunnelled backend has a per-dispatch floor that plain
     # chaining cannot amortise — it shaved even 10 ms forward steps by
     # ~10% (causal 110.5 plain vs 122.4 scanned, measured back-to-back)
-    # and swamped sub-ms decode steps entirely. Scanning the op inside
+    # and swamped sub-ms decode steps entirely. The floor varies by day
+    # (~1 ms → ~7 ms observed), so time_scanned now differences two
+    # scan lengths — the floor cancels exactly. Scanning the op inside
     # one jit is also how the op runs in practice (inside jitted train
     # steps / generation loops). VERDICT r2 #6 "make the bench
     # trustworthy".
@@ -436,11 +440,13 @@ def main() -> None:
                        f"tests/test_quant.py)"),
             "device": peaks["device_kind"],
             "peak_tflops": peaks["peak_tflops"],
-            "timing": ("ops scan-chained inside one jit "
+            "timing": ("ops scan-chained inside one jit at TWO scan "
+                       "lengths, per-step time = the slope "
                        "(utils/timing.time_scanned) — the tunnelled "
-                       "backend's ~1 ms per-dispatch floor otherwise "
-                       "shaves ~10% off 10 ms steps and swamps sub-ms "
-                       "decode steps; in-jit chaining is also how the "
+                       "backend's per-dispatch floor varies by day "
+                       "(~1-7 ms observed) and any single length "
+                       "over-reads by floor/inner; the slope cancels "
+                       "it exactly. In-jit chaining is also how the "
                        "ops run inside real train/serving loops"),
             "sol_fraction": round(tflops_fp8_qq / peaks["peak_tflops"],
                                   4),

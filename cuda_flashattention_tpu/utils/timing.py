@@ -106,30 +106,49 @@ def memory_stats(device=None) -> Dict[str, int]:
 def time_scanned(fn, x0, *args, inner: int = 16, iters: int = 6,
                  warmup: int = 1) -> float:
     """Per-step seconds for a decode-style step chained INSIDE one jit
-    (lax.scan over `inner` steps), then across dispatches (`iters`).
+    (lax.scan over `inner` steps), measured at TWO scan lengths so the
+    per-dispatch floor cancels.
 
-    The tunnelled backend has a ~1 ms per-DISPATCH floor that
-    `time_chained` cannot amortise for sub-millisecond steps (a 0.15 ms
-    quantized decode step reads as ~1.3 ms — it made int8 GQA decode
-    look 40% SLOWER than bf16 when it is 40% faster). Scanning steps
-    inside one dispatched computation is also the realistic serving
-    measurement: production decode loops jit the whole generation scan
-    exactly like models/generate.py does.
+    The tunnelled backend has a per-DISPATCH floor that `time_chained`
+    cannot amortise for sub-millisecond steps (a 0.15 ms quantized
+    decode step reads as ~1.3 ms — it made int8 GQA decode look 40%
+    SLOWER than bf16 when it is 40% faster). Scanning steps inside one
+    dispatched computation is also the realistic serving measurement:
+    production decode loops jit the whole generation scan exactly like
+    models/generate.py does.
+
+    The floor is NOT a constant of the backend — measured ~1 ms on the
+    round-4 bench day and ~7 ms a day later — so any single scan length
+    still over-reads by floor/inner (a no-op step at inner=8 read
+    ~1 ms/step on the 7 ms day). Timing scans of `inner` and `3·inner`
+    steps and taking the slope (T₃ − T₁) / (2·inner) cancels the
+    dispatch-fixed cost exactly, whatever it is that day; if noise
+    swamps the difference (slope ≤ 0) the longer scan's mean is the
+    conservative fallback.
 
     `fn(x, *args) -> pytree-like-x` must return a value matching x's
     structure/shapes (the scan carry — e.g. decode feeds o back as q, a
     train step feeds params); pass caches/constants via *args (NOT
     closure captures — captured arrays re-materialise as multi-GB
     jaxpr constants)."""
-    @jax.jit
-    def f(x, *a):
-        def body(c, _):
-            y = fn(c, *a)
-            y = jax.tree_util.tree_map(
-                lambda yi, ci: yi.astype(ci.dtype), y, c)
-            return y, None
-        y, _ = jax.lax.scan(body, x, None, length=inner)
-        return y
+    def scanned(n):
+        @jax.jit
+        def f(x, *a):
+            def body(c, _):
+                y = fn(c, *a)
+                y = jax.tree_util.tree_map(
+                    lambda yi, ci: yi.astype(ci.dtype), y, c)
+                return y, None
+            y, _ = jax.lax.scan(body, x, None, length=n)
+            return y
+        return f
 
-    return time_chained(lambda x: f(x, *args), x0, iters=iters,
-                        warmup=warmup) / inner
+    f1, f3 = scanned(inner), scanned(3 * inner)
+    t1 = time_chained(lambda x: f1(x, *args), x0, iters=iters,
+                      warmup=warmup)
+    t3 = time_chained(lambda x: f3(x, *args), x0, iters=iters,
+                      warmup=warmup)
+    slope = (t3 - t1) / (2 * inner)
+    if slope <= 0.0:
+        return t3 / (3 * inner)
+    return slope
