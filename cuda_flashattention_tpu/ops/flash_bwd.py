@@ -260,6 +260,9 @@ def _bwd_fused_kernel(
     block_k: int,
     window: int,
     segmented: bool,
+    n_group: int,
+    n_k_blocks: int,
+    n_q_blocks: int,
     fuse_delta: bool = False,
 ):
     """Fused single-pass backward: dQ, dK AND dV from ONE visit per
@@ -272,9 +275,11 @@ def _bwd_fused_kernel(
     accumulators instead — the K-major forward's trick
     (flash_fwd._fwd_kernel_kmajor).
 
-    Grid: (batch, kv head, group, kv block, q block) — iq innermost, so
-    K/V stay resident per ik run while Q/dO/LSE/D stream (streamed
-    blocks pipeline; it's resident-block swaps that stall, MEMO #16).
+    Grid: one flat axis enumerating (batch, kv head, group, kv block,
+    q block) row-major — iq innermost, so K/V stay resident per ik run
+    while Q/dO/LSE/D stream (streamed blocks pipeline; it's
+    resident-block swaps that stall, MEMO #16), and batch/head
+    boundaries pipeline through instead of flushing.
     dK/dV accumulate across (ig, iq) per KV head, dQ across ik per
     query head.  Every output slice is written exactly once, on the grid
     step where its last contribution lands; out-block buffers flushed on
@@ -300,12 +305,16 @@ def _bwd_fused_kernel(
     else:
         (dq_ref, dk_ref, dv_ref, dq_state, dk_state, dv_state) = refs
         delta_state = None
-    ig = pl.program_id(2)
-    ik = pl.program_id(3)
-    iq = pl.program_id(4)
-    ngroup = pl.num_programs(2)
-    nk_blocks = pl.num_programs(3)
-    nq_blocks = pl.num_programs(4)
+    # ONE flat sequential grid axis (same motivation as the forward's
+    # K-major grid: separate batch/head grid dims break the Mosaic
+    # pipeline for ~20-29 µs at every boundary — b·h of them per call).
+    # Iteration order is identical to the old (b, hkv, ig, ik, iq)
+    # row-major nesting, so the accumulate/write logic is unchanged.
+    ngroup, nk_blocks, nq_blocks = n_group, n_k_blocks, n_q_blocks
+    t = pl.program_id(0)
+    iq = t % nq_blocks
+    ik = (t // nq_blocks) % nk_blocks
+    ig = (t // (nq_blocks * nk_blocks)) % ngroup
 
     sweep_start = jnp.logical_and(ik == 0, iq == 0)
 
@@ -539,43 +548,68 @@ def flash_attention_backward(
                         axis=-1, keepdims=True)  # [B,H,Nq,1]
         od_p = pad_to_block(delta, 2, block_q)
     if fused:
-        fq_spec = pl.BlockSpec(
-            (1, 1, block_q, d),
-            lambda bb, hh, ig, ikv, iq: (bb, hh * g + ig, q_idx(ikv, iq), 0))
-        fkv_spec = pl.BlockSpec(
-            (1, 1, block_k, d),
-            lambda bb, hh, ig, ikv, iq: (bb, hh, ikv, 0))
-        frow_spec = pl.BlockSpec(
-            (1, 1, block_q, 1),
-            lambda bb, hh, ig, ikv, iq: (bb, hh * g + ig, q_idx(ikv, iq), 0))
+        nqb_f, nkb_f = nq_p // block_q, nk_p // block_k
+
+        def _coords(t, nqb=nqb_f, nkb=nkb_f, gg=group, hkv=h_kv):
+            # unflatten the single sequential grid axis (row-major over
+            # (b, kvh, ig, ik, iq) — see the kernel docstring)
+            iq = t % nqb
+            ikv = (t // nqb) % nkb
+            ig = (t // (nqb * nkb)) % gg
+            hh = (t // (nqb * nkb * gg)) % hkv
+            bb = t // (nqb * nkb * gg * hkv)
+            return bb, hh, ig, ikv, iq
+
+        def fq_map(t):
+            bb, hh, ig, ikv, iq = _coords(t)
+            return (bb, hh * g + ig, q_idx(ikv, iq), 0)
+
+        def fkv_map(t):
+            bb, hh, ig, ikv, iq = _coords(t)
+            return (bb, hh, ikv, 0)
+
+        fq_spec = pl.BlockSpec((1, 1, block_q, d), fq_map)
+        fkv_spec = pl.BlockSpec((1, 1, block_k, d), fkv_map)
+        frow_spec = pl.BlockSpec((1, 1, block_q, 1), fq_map)
+
+        def fqseg_map(t):
+            bb, hh, ig, ikv, iq = _coords(t)
+            return (bb, q_idx(ikv, iq), 0)
+
+        def fkseg_map(t):
+            bb, hh, ig, ikv, iq = _coords(t)
+            return (bb, ikv, 0)
+
         fseg_specs = [
-            pl.BlockSpec((1, block_q, 1),
-                         lambda bb, hh, ig, ikv, iq: (bb, q_idx(ikv, iq), 0)),
-            pl.BlockSpec((1, block_k, 1),
-                         lambda bb, hh, ig, ikv, iq: (bb, ikv, 0)),
+            pl.BlockSpec((1, block_q, 1), fqseg_map),
+            pl.BlockSpec((1, block_k, 1), fkseg_map),
         ] if segmented else []
+
         # fuse_delta only reads the O block on the first KV pass — pin
         # the fetch index to block 0 on later passes so the same-index
         # pipeline elision drops the (otherwise nk_blocks×) re-fetch of
         # the whole O tensor per head.
-        fod_spec = pl.BlockSpec(
-            (1, 1, block_q, d),
-            lambda bb, hh, ig, ikv, iq: (
-                bb, hh * g + ig, jnp.where(ikv == 0, iq, 0), 0))
+        def fod_map(t):
+            bb, hh, ig, ikv, iq = _coords(t)
+            return (bb, hh * g + ig, jnp.where(ikv == 0, iq, 0), 0)
+
+        fod_spec = pl.BlockSpec((1, 1, block_q, d), fod_map)
+
+        def fdq_map(t):
+            bb, hh, ig, ikv, iq = _coords(t)
+            return (bb, hh * g + ig, iq, 0)
+
         dq, dk, dv = pl.pallas_call(
             functools.partial(_bwd_fused_kernel, fuse_delta=fuse_delta,
-                              **common),
-            grid=(b, h_kv, group, nk_p // block_k, nq_p // block_q),
+                              n_group=group, n_k_blocks=nkb_f,
+                              n_q_blocks=nqb_f, **common),
+            grid=(b * h_kv * group * nkb_f * nqb_f,),
             in_specs=[fq_spec, fkv_spec, fkv_spec, fq_spec, frow_spec,
                       fod_spec if fuse_delta else frow_spec, *fseg_specs],
             out_specs=[
-                pl.BlockSpec(
-                    (1, 1, block_q, d),
-                    lambda bb, hh, ig, ikv, iq: (bb, hh * g + ig, iq, 0)),
-                pl.BlockSpec((1, 1, block_k, d),
-                             lambda bb, hh, ig, ikv, iq: (bb, hh, ikv, 0)),
-                pl.BlockSpec((1, 1, block_k, d),
-                             lambda bb, hh, ig, ikv, iq: (bb, hh, ikv, 0)),
+                pl.BlockSpec((1, 1, block_q, d), fdq_map),
+                pl.BlockSpec((1, 1, block_k, d), fkv_map),
+                pl.BlockSpec((1, 1, block_k, d), fkv_map),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((b, h, nq_p, d), q.dtype),
@@ -589,8 +623,7 @@ def flash_attention_backward(
             ] + ([pltpu.VMEM((nq_p, 1), jnp.float32)] if fuse_delta
                  else []),
             compiler_params=pltpu.CompilerParams(
-                dimension_semantics=("parallel", "parallel", "arbitrary",
-                                     "arbitrary", "arbitrary"),
+                dimension_semantics=("arbitrary",),
                 vmem_limit_bytes=110 * 1024 * 1024,
             ),
             cost_estimate=pl.CostEstimate(

@@ -401,6 +401,7 @@ def _fwd_kernel_kmajor(
     block_q: int,
     block_k: int,
     nk_blocks: int,
+    n_steps: int,
     quantized: bool,
     fp8_fast: bool,
     has_empty: bool,
@@ -419,6 +420,17 @@ def _fwd_kernel_kmajor(
     per-step output flushes pipeline cleanly. Usable whenever the
     full-sequence accumulator fits VMEM (the host gates on that and
     falls back to the band grid otherwise).
+
+    The grid is ONE flat sequential axis over batch × heads × band
+    steps (the index maps recover (b, h, step) arithmetically): with
+    (b, h) as separate grid dims, every head boundary broke the Mosaic
+    pipeline for ~20-29 µs (measured via head-count scaling at N=4096:
+    per-head cost 30 → 51 µs as H went 4 → 64 while the per-head
+    compute is constant), which at short sequence was ~45% of the whole
+    causal forward. One flat axis keeps the pipeline primed across
+    heads; per-head softmax state needs no boundary hand-off because
+    the first visit to each Q block STORES (overwriting the previous
+    head's state) rather than accumulating.
     """
     refs = list(refs)
     c_ref, q_ref, k_ref, v_ref = refs[:4]
@@ -434,7 +446,7 @@ def _fwd_kernel_kmajor(
     # instead of once per step (it was ~0.8 µs/step of fp8 VPU time)
     kc_ref, vc_ref = (refs[5], refs[6]) if quantized else (None, None)
 
-    t = pl.program_id(2)
+    t = pl.program_id(0) % n_steps  # step within this (batch, head)
     iq = iq_map_ref[t]
     ik = ik_map_ref[t]
     q_first = iq * block_q + kv_offset
@@ -925,18 +937,27 @@ def flash_attention_forward(
                 km_has_empty = True
         km_iq_map = jnp.asarray(np.asarray(km_iq, np.int32))
         km_ik_map = jnp.asarray(np.asarray(km_ik, np.int32))
+        km_steps = len(km_iq)
 
-        def km_qmap(bb, hh, t, iqm, ikm):
-            return (bb, hh, iqm[t], 0)
+        # ONE flat sequential grid axis over (batch, head, band step):
+        # separate (b, h) grid dims break the Mosaic pipeline at every
+        # head boundary (~20-29 µs each — see the kernel docstring);
+        # the maps recover the coordinates arithmetically.
+        def km_qmap(t, iqm, ikm, ns=km_steps, nh=h):
+            bh = t // ns
+            return (bh // nh, bh % nh, iqm[t % ns], 0)
 
-        def km_kvmap(bb, hh, t, iqm, ikm, g=group):
-            return (bb, hh // g, ikm[t], 0)
+        def km_kvmap(t, iqm, ikm, ns=km_steps, nh=h, g=group):
+            bh = t // ns
+            return (bh // nh, (bh % nh) // g, ikm[t % ns], 0)
 
-        def km_scmap(bb, hh, t, iqm, ikm, g=group):
-            return (bb, hh // g, 0, ikm[t])
+        def km_scmap(t, iqm, ikm, ns=km_steps, nh=h, g=group):
+            bh = t // ns
+            return (bh // nh, (bh % nh) // g, 0, ikm[t % ns])
 
-        def km_scmap_h(bb, hh, t, iqm, ikm):
-            return (bb, hh, 0, ikm[t])
+        def km_scmap_h(t, iqm, ikm, ns=km_steps, nh=h):
+            bh = t // ns
+            return (bh // nh, bh % nh, 0, ikm[t % ns])
 
     c_pad = None
     if use_bound:
@@ -981,6 +1002,7 @@ def flash_attention_forward(
                 block_q=block_q,
                 block_k=block_k,
                 nk_blocks=nkb,
+                n_steps=len(km_iq),
                 quantized=quantized,
                 fp8_fast=fp8_fast,
                 has_empty=km_has_empty,
@@ -1004,7 +1026,7 @@ def flash_attention_forward(
                 kernel,
                 grid_spec=pltpu.PrefetchScalarGridSpec(
                     num_scalar_prefetch=2,
-                    grid=(b, h, len(km_iq)),
+                    grid=(b * h * len(km_iq),),
                     in_specs=km_in_specs,
                     out_specs=[
                         pl.BlockSpec((1, 1, block_q, d), km_qmap),
@@ -1027,8 +1049,7 @@ def flash_attention_forward(
                     jax.ShapeDtypeStruct((b, h, nq_p, 1), jnp.float32),
                 ],
                 compiler_params=pltpu.CompilerParams(
-                    dimension_semantics=("parallel", "parallel",
-                                         "arbitrary"),
+                    dimension_semantics=("arbitrary",),
                     vmem_limit_bytes=110 * 1024 * 1024,
                 ),
                 cost_estimate=pl.CostEstimate(
