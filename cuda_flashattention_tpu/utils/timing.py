@@ -144,11 +144,21 @@ def time_scanned(fn, x0, *args, inner: int = 16, iters: int = 6,
         return f
 
     f1, f3 = scanned(inner), scanned(3 * inner)
-    t1 = time_chained(lambda x: f1(x, *args), x0, iters=iters,
-                      warmup=warmup)
-    t3 = time_chained(lambda x: f3(x, *args), x0, iters=iters,
-                      warmup=warmup)
-    slope = (t3 - t1) / (2 * inner)
-    if slope <= 0.0:
-        return t3 / (3 * inner)
-    return slope
+
+    def one_pair(w):
+        t1 = time_chained(lambda x: f1(x, *args), x0, iters=iters,
+                          warmup=w)
+        t3 = time_chained(lambda x: f3(x, *args), x0, iters=iters,
+                          warmup=w)
+        return (t3 - t1) / (2 * inner), t3
+
+    # Two independent pairs, min slope: a tunnel stall mid-measurement
+    # (observed: one 0.3 ms row reading 300+ s) only ever inflates a
+    # leg, so the smaller positive slope is the honest one. Runtime is
+    # cheap next to the (shared) compiles.
+    s_a, t3_a = one_pair(warmup)
+    s_b, t3_b = one_pair(0)
+    slopes = [s for s in (s_a, s_b) if s > 0.0]
+    if not slopes:
+        return min(t3_a, t3_b) / (3 * inner)
+    return min(slopes)
