@@ -626,6 +626,12 @@ def _fwd_kernel_kmajor(
 # K-major needs the whole padded sequence's (l, acc) resident in VMEM;
 # beyond this budget the host falls back to the Q-major band grid.
 # Env-overridable for budget experiments.
+# Below this many query rows, "auto" keeps unquantized causal forwards
+# on the ONLINE softmax (the compact band grid): measured crossover vs
+# the bound/K-major path is ≈5-6k rows (see use_bound note in
+# flash_attention_forward). Env-overridable for experiments.
+_ONLINE_SHORT_NQ = int(os.environ.get("CFA_ONLINE_SHORT_NQ", "5120"))
+
 _KMAJOR_STATE_BUDGET = int(os.environ.get(
     "CFA_KMAJOR_BUDGET", 24 * 1024 * 1024))
 
@@ -730,9 +736,20 @@ def flash_attention_forward(
                          f"online, got {softmax!r}")
     # segmented visibility is data-dependent, so the bound path's static
     # underflow check can't tell "empty segment" from "bound too loose";
-    # packed inputs keep the classic online softmax (module docstring)
+    # packed inputs keep the classic online softmax (module docstring).
+    # Short unquantized causal ALSO goes online under "auto": with
+    # floor-cancelled timing the online band grid measures ~20% faster
+    # than kmajor+bound at N≤4096 (105 vs 85 TF/s; the bound path's
+    # c-norm pass + fallback-cond output copy are fixed costs the short
+    # grid can't amortise) while bound wins from ~8k up (118 vs 104 at
+    # 8k, 138 vs 122 at 16k — crossover ≈ 5-6k, measured r5). Online is
+    # exact with no fallback machinery, so the switch is free of
+    # accuracy caveats. Quantized KV always stays on bound (fp8 needs
+    # the K-major cast scratch; int8 measured faster on bound).
     use_bound = (softmax in ("bound", "bound_unchecked")
-                 or (softmax == "auto" and not segmented))
+                 or (softmax == "auto" and not segmented
+                     and not (causal and not quantized
+                              and nq <= _ONLINE_SHORT_NQ)))
     if use_bound and segmented:
         raise ValueError("softmax='bound' is unsupported with segment "
                          "ids; use 'auto' or 'online'")
