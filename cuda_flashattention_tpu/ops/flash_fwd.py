@@ -30,7 +30,7 @@ padding masks for non-divisible shapes, and GQA head sharing.
 
 Softmax strategies (the `softmax=` knob):
 
-  "bound" (default)  — score-bound softmax: the host precomputes a
+  "bound"            — score-bound softmax: the host precomputes a
       per-row upper bound on the scores, c_i = ||q̂_i||₂ · max_j ||k_j||₂
       (Cauchy–Schwarz; q̂ already carries scale·log2(e), so c is in log2
       units), and the kernel evaluates p = 2^(s − c) DIRECTLY — no
@@ -54,7 +54,13 @@ Softmax strategies (the `softmax=` knob):
   "online"           — the classic FA2 online-softmax (running max +
       rescale), as the reference implements it. Used automatically for
       segmented (packed) inputs, where per-row visibility is
-      data-dependent and the underflow check above cannot be static.
+      data-dependent and the underflow check above cannot be static,
+      AND for short unquantized causal forwards (nq ≤ 5120,
+      CFA_ONLINE_SHORT_NQ): there the bound path's fixed costs (c-norm
+      pass + fallback-cond output copy) outweigh its per-element VPU
+      win — measured crossover ≈ 5-6k rows (r5).
+
+  "auto" (default)   — picks between the two as described above.
   "bound_unchecked"  — the bound path without the lax.cond fallback.
       The cond's untaken identity branch copies O, measured ~3 TF/s on
       this chip; waive it when inputs are known non-adversarial
