@@ -634,9 +634,34 @@ def _fwd_kernel_kmajor(
 # Env-overridable for budget experiments.
 # Below this many query rows, "auto" keeps unquantized causal forwards
 # on the ONLINE softmax (the compact band grid): measured crossover vs
-# the bound/K-major path is ≈5-6k rows (see use_bound note in
-# flash_attention_forward). Env-overridable for experiments.
+# the bound/K-major path is ≈5-6k rows (see _resolve_use_bound).
+# Env-overridable for experiments.
 _ONLINE_SHORT_NQ = int(os.environ.get("CFA_ONLINE_SHORT_NQ", "5120"))
+
+
+def _resolve_use_bound(softmax: str, *, causal: bool, quantized: bool,
+                       segmented: bool, nq: int) -> bool:
+    """Route `softmax="auto"` between the bound and online strategies.
+
+    Segmented (packed) inputs always go online: per-row visibility is
+    data-dependent, so the bound path's static underflow check can't
+    tell "empty segment" from "bound too loose". Short unquantized
+    causal forwards ALSO go online: with floor-cancelled timing the
+    online band grid measures ~20% faster than kmajor+bound at N≤4096
+    (105 vs 85 TF/s — the bound path's c-norm pass and fallback-cond
+    output copy are fixed costs the short grid can't amortise) while
+    bound wins from ~8k up (118 vs 104 at 8k, 138 vs 122 at 16k;
+    crossover ≈ 5-6k, measured r5). Online is exact with no fallback
+    machinery, so the switch carries no accuracy caveats. Quantized KV
+    always stays on bound (fp8 needs the K-major cast scratch; int8
+    measured faster on bound)."""
+    if softmax in ("bound", "bound_unchecked"):
+        return True
+    if softmax != "auto" or segmented:
+        return False
+    if causal and not quantized and nq <= _ONLINE_SHORT_NQ:
+        return False
+    return True
 
 _KMAJOR_STATE_BUDGET = int(os.environ.get(
     "CFA_KMAJOR_BUDGET", 24 * 1024 * 1024))
@@ -740,22 +765,9 @@ def flash_attention_forward(
     if softmax not in ("auto", "bound", "bound_unchecked", "online"):
         raise ValueError(f"softmax must be auto|bound|bound_unchecked|"
                          f"online, got {softmax!r}")
-    # segmented visibility is data-dependent, so the bound path's static
-    # underflow check can't tell "empty segment" from "bound too loose";
-    # packed inputs keep the classic online softmax (module docstring).
-    # Short unquantized causal ALSO goes online under "auto": with
-    # floor-cancelled timing the online band grid measures ~20% faster
-    # than kmajor+bound at N≤4096 (105 vs 85 TF/s; the bound path's
-    # c-norm pass + fallback-cond output copy are fixed costs the short
-    # grid can't amortise) while bound wins from ~8k up (118 vs 104 at
-    # 8k, 138 vs 122 at 16k — crossover ≈ 5-6k, measured r5). Online is
-    # exact with no fallback machinery, so the switch is free of
-    # accuracy caveats. Quantized KV always stays on bound (fp8 needs
-    # the K-major cast scratch; int8 measured faster on bound).
-    use_bound = (softmax in ("bound", "bound_unchecked")
-                 or (softmax == "auto" and not segmented
-                     and not (causal and not quantized
-                              and nq <= _ONLINE_SHORT_NQ)))
+    use_bound = _resolve_use_bound(softmax, causal=causal,
+                                   quantized=quantized,
+                                   segmented=segmented, nq=nq)
     if use_bound and segmented:
         raise ValueError("softmax='bound' is unsupported with segment "
                          "ids; use 'auto' or 'online'")

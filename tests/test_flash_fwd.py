@@ -215,20 +215,50 @@ def test_bound_fallback_ignores_legitimately_empty_rows():
     q = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, n, d)), jnp.float32)
     k = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, n, d)), jnp.float32)
     v = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, n, d)), jnp.float32)
-    # kv_offset=-64: global rows -64..-1 precede every key -> empty
+    # kv_offset=-64: global rows -64..-1 precede every key -> empty.
+    # softmax="bound" pins the BOUND path: at this short causal shape
+    # "auto" now routes to online (r5) and would test nothing.
     for kw in (dict(causal=True, kv_offset=-64),
                # window 16 with kv_offset far past the shard: every row's
                # window lies beyond the resident keys -> all rows empty
                dict(causal=True, window=16, kv_offset=4 * n)):
         o, lse = flash_attention_forward(
-            q, k, v, interpret=True, _fallback_in_interpret=True, **kw)
+            q, k, v, softmax="bound", interpret=True,
+            _fallback_in_interpret=True, **kw)
         o_on, lse_on = flash_attention_forward(
             q, k, v, softmax="online", interpret=True, **kw)
         assert float(jnp.max(jnp.abs(o - o_on))) < 1e-6, kw
         assert float(jnp.max(jnp.abs(lse - lse_on))) < 1e-5, kw
     # anti-vacuous: the kv_offset=-64 case really does have empty rows
     o, lse = flash_attention_forward(
-        q, k, v, causal=True, kv_offset=-64, interpret=True,
-        _fallback_in_interpret=True)
+        q, k, v, causal=True, kv_offset=-64, softmax="bound",
+        interpret=True, _fallback_in_interpret=True)
     assert float(jnp.max(jnp.abs(o[:, :, :64]))) == 0.0
     assert float(jnp.max(lse[:, :, :64])) < -1e29
+
+
+def test_auto_softmax_routing_table():
+    """r5: "auto" routes short unquantized causal to the online path
+    (measured crossover ~5-6k rows) and everything else to bound; the
+    decision table is pinned here so a refactor can't silently change
+    the default."""
+    from cuda_flashattention_tpu.ops.flash_fwd import (
+        _ONLINE_SHORT_NQ, _resolve_use_bound)
+    base = dict(causal=True, quantized=False, segmented=False)
+    # short causal -> online; long causal -> bound
+    assert not _resolve_use_bound("auto", nq=_ONLINE_SHORT_NQ, **base)
+    assert _resolve_use_bound("auto", nq=_ONLINE_SHORT_NQ + 1, **base)
+    # non-causal stays bound at any length
+    assert _resolve_use_bound("auto", causal=False, quantized=False,
+                              segmented=False, nq=128)
+    # quantized causal stays bound even when short
+    assert _resolve_use_bound("auto", causal=True, quantized=True,
+                              segmented=False, nq=128)
+    # segments always go online
+    assert not _resolve_use_bound("auto", causal=False, quantized=False,
+                                  segmented=True, nq=1 << 20)
+    # explicit modes are never overridden
+    assert _resolve_use_bound("bound", nq=128, **base)
+    assert _resolve_use_bound("bound_unchecked", nq=128, **base)
+    assert not _resolve_use_bound("online", nq=1 << 20, causal=True,
+                                  quantized=False, segmented=False)
