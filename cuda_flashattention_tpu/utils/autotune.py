@@ -10,11 +10,15 @@ delivers that item TPU-natively:
     `ops.common.auto_block_sizes` (the static heuristic stays the zero-cost
     default; this tuner is the measured upgrade),
   * each candidate is timed on the live device SCAN-CHAINED inside one
-    jit (utils.timing.time_scanned — safe against async dispatch AND the
-    tunnelled backend's ~1 ms per-dispatch floor, which otherwise makes
-    every sub-ms decode candidate read alike and the winner noise), and
+    jit at two scan lengths (utils.timing.time_scanned — safe against
+    async dispatch AND the tunnelled backend's variable per-dispatch
+    floor, which otherwise makes every sub-ms decode candidate read
+    alike and the winner noise), and
   * results are cached per (device_kind, shape, dtype, causal, mode), both
-    in-process and in an on-disk JSON so repeat runs pay nothing.
+    in-process and in an on-disk JSON so repeat runs pay nothing. The
+    cache key carries a version ("v3") bumped whenever the timing
+    methodology changes, so winners measured under a biased harness
+    can't outlive the fix.
 
 Usage:
     bs = autotune_block_sizes(nq=16384, nk=16384, d=128)
@@ -149,7 +153,7 @@ def autotune_block_sizes(
     if window:
         causal = True
     dev = jax.devices()[0]
-    key = json.dumps(["v2", dev.device_kind, jax.default_backend(), batch, heads,
+    key = json.dumps(["v3", dev.device_kind, jax.default_backend(), batch, heads,
                       nq, nk, d, str(jnp.dtype(dtype)), causal, window,
                       mode])
     if key in _MEM_CACHE:
@@ -243,7 +247,7 @@ def autotune_decode_block_k(
 
     kv_heads = kv_heads or heads
     dev = jax.devices()[0]
-    key = json.dumps(["v2", dev.device_kind, jax.default_backend(), "decode",
+    key = json.dumps(["v3", dev.device_kind, jax.default_backend(), "decode",
                       batch, heads, kv_heads, ctx, d, qtype or "bf16",
                       window])
     if key in _MEM_CACHE:
@@ -333,7 +337,7 @@ def autotune_page_size(
     from cuda_flashattention_tpu.ops.quant import quantize_tensor
 
     dev = jax.devices()[0]
-    key = json.dumps(["v2", dev.device_kind, jax.default_backend(), "page",
+    key = json.dumps(["v3", dev.device_kind, jax.default_backend(), "page",
                       batch, heads, ctx, d, qtype or "bf16"])
     if key in _MEM_CACHE:
         return _MEM_CACHE[key]
