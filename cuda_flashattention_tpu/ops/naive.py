@@ -11,6 +11,11 @@ Written in plain jax.numpy with fp32 (optionally fp64) accumulation — this
 runs on CPU or TPU, is O(N^2) in memory, and is the correctness bar every
 Pallas kernel in ops/ is compared against (tests mirror the reference's
 oracle-compare discipline, SURVEY.md §4).
+
+Every einsum is pinned to Precision.HIGHEST: on TPU the default fp32
+matmul precision is a reduced-pass MXU mode that drifts ~1e-3-class —
+an oracle that drifts with the backend is no oracle (the compiled-mode
+suite caught exactly this, r5).
 """
 
 from __future__ import annotations
@@ -54,7 +59,8 @@ def naive_attention(
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
-    s = jnp.einsum("...qd,...kd->...qk", q, k) * scale
+    s = jnp.einsum("...qd,...kd->...qk", q, k,
+                   precision=jax.lax.Precision.HIGHEST) * scale
     if causal:
         nq, nk = q.shape[-2], k.shape[-2]
         qi = jnp.arange(nq)[:, None] + kv_offset
@@ -73,7 +79,8 @@ def naive_attention(
     p = jnp.exp(s - m_safe)
     p = jnp.where(jnp.isfinite(s), p, 0.0)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.einsum("...qk,...kd->...qd", p, v) / jnp.maximum(l, 1e-30)
+    o = jnp.einsum("...qk,...kd->...qd", p, v,
+                   precision=jax.lax.Precision.HIGHEST) / jnp.maximum(l, 1e-30)
     lse = (m_safe + jnp.log(jnp.maximum(l, 1e-30)))[..., 0]
     return o, lse
 
@@ -104,7 +111,8 @@ def naive_attention_backward(
     d = q.shape[-1]
     if scale is None:
         scale = 1.0 / float(np.sqrt(d))
-    s = jnp.einsum("...qd,...kd->...qk", q, k) * scale
+    s = jnp.einsum("...qd,...kd->...qk", q, k,
+                   precision=jax.lax.Precision.HIGHEST) * scale
     if causal:
         nq, nk = q.shape[-2], k.shape[-2]
         qi = jnp.arange(nq)[:, None] + kv_offset
@@ -118,15 +126,19 @@ def naive_attention_backward(
         s = jnp.where(qs == ks, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     p = jnp.where(jnp.isfinite(s), p, 0.0)
-    dv = jnp.einsum("...qk,...qd->...kd", p, do)
-    dp = jnp.einsum("...qd,...kd->...qk", do, v)
+    dv = jnp.einsum("...qk,...qd->...kd", p, do,
+                    precision=jax.lax.Precision.HIGHEST)
+    dp = jnp.einsum("...qd,...kd->...qk", do, v,
+                    precision=jax.lax.Precision.HIGHEST)
     # rowsum(P ⊙ dP) == rowsum(dO ⊙ O) == the backward's "D" vector
     # (ref: flash_attention_backward_kernel.cu:94-120 computes it as the
     # latter; the two are equal by O = P·V).
     delta = jnp.sum(p * dp, axis=-1, keepdims=True)
     ds = p * (dp - delta) * scale
-    dq = jnp.einsum("...qk,...kd->...qd", ds, k)
-    dk = jnp.einsum("...qk,...qd->...kd", ds, q)
+    dq = jnp.einsum("...qk,...kd->...qd", ds, k,
+                    precision=jax.lax.Precision.HIGHEST)
+    dk = jnp.einsum("...qk,...qd->...kd", ds, q,
+                    precision=jax.lax.Precision.HIGHEST)
     return dq, dk, dv
 
 

@@ -148,20 +148,23 @@ def test_decode_windows_exceeding_static_cap():
     v = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 256, 32)), jnp.float32)
     q = jnp.asarray(rng.uniform(-0.5, 0.5, (1, 2, 32)), jnp.float32)
     lengths = jnp.asarray([256], jnp.int32)
-    o, _ = decode_attention(q, k, v, lengths, block_k=64, window=64,
-                            windows=jnp.asarray([256], jnp.int32),
-                            interpret=True)
-    # effective window = min(256, 64) = 64 → last 64 tokens
-    o_ref, _ = naive_attention(q[:, :, None, :], k[:, :, 192:],
-                               v[:, :, 192:])
-    assert_close(o, o_ref[:, :, 0], 1e-5, "capped dynamic window")
-    # windows WITHOUT a static cap keeps the full grid and honours any
-    # value (>= length means no window)
-    o2, _ = decode_attention(q, k, v, lengths, block_k=64,
-                             windows=jnp.asarray([256], jnp.int32),
-                             interpret=True)
-    o_full, _ = naive_attention(q[:, :, None, :], k, v)
-    assert_close(o2, o_full[:, :, 0], 1e-5, "uncapped dynamic window")
+    # HIGHEST matmul precision: the 1e-5 bars assume fp32 matmuls;
+    # on-TPU default precision drifts ~1e-3-class (r5)
+    with jax.default_matmul_precision("highest"):
+        o, _ = decode_attention(q, k, v, lengths, block_k=64, window=64,
+                                windows=jnp.asarray([256], jnp.int32),
+                                interpret=True)
+        # effective window = min(256, 64) = 64 → last 64 tokens
+        o_ref, _ = naive_attention(q[:, :, None, :], k[:, :, 192:],
+                                   v[:, :, 192:])
+        assert_close(o, o_ref[:, :, 0], 1e-5, "capped dynamic window")
+        # windows WITHOUT a static cap keeps the full grid and honours
+        # any value (>= length means no window)
+        o2, _ = decode_attention(q, k, v, lengths, block_k=64,
+                                 windows=jnp.asarray([256], jnp.int32),
+                                 interpret=True)
+        o_full, _ = naive_attention(q[:, :, None, :], k, v)
+        assert_close(o2, o_full[:, :, 0], 1e-5, "uncapped dynamic window")
 
 
 def test_decode_quantize_q():

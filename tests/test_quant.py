@@ -136,7 +136,15 @@ def test_fp8_to_bf16_bit_surgery_exhaustive():
 def test_fp8_shift_cast_exhaustive():
     """fp8_shift_cast is exactly value·2^-120 for every non-NaN code —
     normals AND subnormals (both interpret the shifted mantissa at their
-    minimum exponent; docs/MEMO.md #19)."""
+    minimum exponent; docs/MEMO.md #19).
+
+    One hardware carve-out (MEMO #29): the shifted form of the 14 fp8
+    SUBNORMAL codes (exponent field 0, mantissa ≠ 0) lands in the fp16
+    subnormal range, and the TPU VPU flushes subnormals to (sign-
+    preserved) zero while CPU/interpret keeps them. The flush error is
+    ≤ 0.0137/448 ≈ 3e-5 of the token absmax — three orders below the
+    fp8 format's own 6% relative step — so compiled runs accept it;
+    exactness is still required for every NORMAL code everywhere."""
     from cuda_flashattention_tpu.ops.common import FP8_SHIFT, fp8_shift_cast
     codes = np.arange(256, dtype=np.uint8)
     x8 = jax.lax.bitcast_convert_type(jnp.asarray(codes),
@@ -144,7 +152,15 @@ def test_fp8_shift_cast_exhaustive():
     got = np.asarray(fp8_shift_cast(x8).astype(jnp.float32)) * FP8_SHIFT
     ref = np.asarray(x8.astype(jnp.float32))
     non_nan = (codes & 0x7F) != 0x7F
-    assert (got[non_nan] == ref[non_nan]).all()
+    subnormal = ((codes & 0x78) == 0) & ((codes & 0x07) != 0)
+    exact = got == ref
+    flushed_to_signed_zero = (
+        subnormal & (got == 0.0)
+        & (np.signbit(got) == np.signbit(ref)))
+    assert (exact | flushed_to_signed_zero)[non_nan].all()
+    # anti-vacuous: exactness must hold on every normal code even where
+    # the FTZ carve-out is available
+    assert exact[non_nan & ~subnormal].all()
 
 
 @pytest.mark.parametrize("qtype,gate", [("int8", 1e-2), ("fp8", 2e-2)])
