@@ -16,6 +16,11 @@ B, H, HKV, D = 2, 4, 2, 16
 PAGE = 16
 MAX_PAGES = 6
 
+# Compiled fp32 matmuls on the MXU are bf16-pass (~1e-3-class relative
+# drift vs the HIGHEST-precision oracle — MEMO #29): fp32 bars
+# calibrated on CPU get platform-aware headroom.
+_PTOL = 2e-3 if jax.default_backend() == "tpu" else 1e-4
+
 
 def paginate(k, v, lengths, rng):
     """Scatter the LIVE prefix of contiguous [B,Hkv,N,d] caches into a
@@ -75,7 +80,7 @@ def test_paged_vs_oracle(setup):
     for i, ln in enumerate([37, 61]):
         r, _ = naive_attention(q[i:i+1, :, None], kf[i:i+1, :, :ln],
                                vf[i:i+1, :, :ln])
-        assert_close(o_p[i:i+1], r[:, :, 0], 1e-4, name=f"paged oracle {i}")
+        assert_close(o_p[i:i+1], r[:, :, 0], _PTOL, name=f"paged oracle {i}")
 
 
 @pytest.mark.parametrize("qtype", ["int8", "fp8", "mixed"])
@@ -276,7 +281,7 @@ def test_paged_prefill_flow():
     vf = jnp.repeat(v_all, h // hkv, 1)
     o_ref, _ = flash_attention_forward(q_all, kf, vf, causal=True,
                                        out_dtype=jnp.float32)
-    assert_close(o_paged, o_ref, 1e-4, name="paged chunked prefill")
+    assert_close(o_paged, o_ref, _PTOL, name="paged chunked prefill")
 
 
 def test_allocator_pool_exhaustion_no_leak():
@@ -330,7 +335,7 @@ def test_paged_window(setup):
         r, _ = naive_attention(q[i:i + 1, :, None],
                                kf[i:i + 1, :, ln - win:ln],
                                vf[i:i + 1, :, ln - win:ln])
-        assert_close(o_w[i:i + 1], r[:, :, 0], 1e-4,
+        assert_close(o_w[i:i + 1], r[:, :, 0], _PTOL,
                      name=f"paged window {i}")
     # per-seq dynamic windows above the static cap must be capped
     o_c, _ = paged_decode_attention(
@@ -341,7 +346,7 @@ def test_paged_window(setup):
         r, _ = naive_attention(q[i:i + 1, :, None],
                                kf[i:i + 1, :, ln - w_eff:ln],
                                vf[i:i + 1, :, ln - w_eff:ln])
-        assert_close(o_c[i:i + 1], r[:, :, 0], 1e-4,
+        assert_close(o_c[i:i + 1], r[:, :, 0], _PTOL,
                      name=f"paged capped dynamic window {i}")
     # dynamic windows WITHOUT a static cap keep the full grid
     o_d, _ = paged_decode_attention(
@@ -352,7 +357,7 @@ def test_paged_window(setup):
         r, _ = naive_attention(q[i:i + 1, :, None],
                                kf[i:i + 1, :, ln - w_eff:ln],
                                vf[i:i + 1, :, ln - w_eff:ln])
-        assert_close(o_d[i:i + 1], r[:, :, 0], 1e-4,
+        assert_close(o_d[i:i + 1], r[:, :, 0], _PTOL,
                      name=f"paged uncapped dynamic window {i}")
 
 
@@ -410,4 +415,4 @@ def test_paged_decode_step_forwards_window():
     o, _ = paged_decode_step(q, cache, window=64)
     o_ref, _ = naive_attention(q[:, :, None, :], k[:, :, n - 64:],
                                v[:, :, n - 64:])
-    assert_close(o, o_ref[:, :, 0], 1e-4, name="paged_decode_step window")
+    assert_close(o, o_ref[:, :, 0], _PTOL, name="paged_decode_step window")

@@ -16,6 +16,10 @@ from cuda_flashattention_tpu.ops.naive import (
 )
 from cuda_flashattention_tpu.utils.testing import assert_close, seeded_random
 
+# MEMO #29: compiled fp32 matmuls are bf16-pass on the MXU
+_STOL = 5e-3 if jax.default_backend() == "tpu" else 1e-3
+_STOL_G = 5e-3 if jax.default_backend() == "tpu" else 2e-3
+
 
 def make_segs(b, n, sizes):
     assert sum(sizes) == n
@@ -34,9 +38,9 @@ def test_segments_fwd_vs_oracle(causal):
         q, k, v, causal=causal, q_segment_ids=seg, kv_segment_ids=seg)
     r, rl = naive_attention(q, k, v, causal=causal, q_segment_ids=seg,
                             kv_segment_ids=seg)
-    assert_close(o, r, 1e-3, name=f"seg fwd causal={causal}")
+    assert_close(o, r, _STOL, name=f"seg fwd causal={causal}")
     fin = jnp.isfinite(rl)
-    assert_close(lse[fin], rl[fin], 1e-3, name="seg lse")
+    assert_close(lse[fin], rl[fin], _STOL, name="seg lse")
 
 
 @pytest.mark.parametrize("causal", [False, True])
@@ -56,9 +60,9 @@ def test_segments_grad_vs_oracle(causal):
     dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
     dq_r, dk_r, dv_r = naive_attention_backward(
         q, k, v, do, causal=causal, q_segment_ids=seg, kv_segment_ids=seg)
-    assert_close(dq, dq_r, 2e-3, name="seg dQ")
-    assert_close(dk, dk_r, 2e-3, name="seg dK")
-    assert_close(dv, dv_r, 2e-3, name="seg dV")
+    assert_close(dq, dq_r, _STOL_G, name="seg dQ")
+    assert_close(dk, dk_r, _STOL_G, name="seg dK")
+    assert_close(dv, dv_r, _STOL_G, name="seg dV")
 
 
 def test_packing_invariant():
