@@ -174,6 +174,15 @@ def main() -> None:
         extra["causal_fwd_tflops"] = fwd_row(fl_c, k, v, causal=True)
         extra["causal_fwd_fp8_qq_tflops"] = fwd_row(
             fl_c, *fp8_args, causal=True, quantize_q=True, **fp8_kw)
+        # sliding-window prefill (the windowed-serving prefill shape;
+        # windowed decode rows live in sec_decode_windowed) — flops
+        # count only the visible band: rows 0..W-1 see i+1 keys
+        # (W(W+1)/2 pairs), the rest see exactly W ((N-W)·W pairs)
+        win = 4096
+        pairs_w = B * H * (win * (win + 1) / 2 + (N - win) * win)
+        fl_w = 2.0 * pairs_w * D * 2  # 2 matmuls x 2·d MACs per pair
+        extra["causal_win4096_fwd_tflops"] = fwd_row(
+            fl_w, k, v, causal=True, window=win)
 
     bench.section("forward_16k", sec_forward)
 
